@@ -1,0 +1,23 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding logic is validated without TPU hardware per SURVEY.md §4:
+``--xla_force_host_platform_device_count=8`` + CPU platform.  The ambient
+environment pins JAX_PLATFORMS=axon (a tunneled TPU with ~0.3 s/dispatch
+round-trip latency) which would make unit tests crawl — and the axon plugin
+wins over the env var — so we force CPU through jax.config, which does take
+precedence.  Must happen before any backend is initialized, hence
+module-level in conftest.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
