@@ -35,6 +35,7 @@ def render_reference(
     camera: Camera,
     background: jnp.ndarray | None = None,
     return_depth: bool = False,
+    sigma_cutoff: float | None = None,
 ):
     """Render (H, W, 3) image (+ optionally depth/alpha) from world-space gaussians.
 
@@ -72,7 +73,12 @@ def render_reference(
     power = -0.5 * (a[None, :] * dx * dx + c[None, :] * dy * dy) - b[None, :] * dx * dy
     alpha = opac[None, :] * jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(alpha, ALPHA_CLAMP)
-    alpha = jnp.where((alpha >= ALPHA_MIN) & valid[None, :] & (power <= 0.0), alpha, 0.0)
+    keep = (alpha >= ALPHA_MIN) & valid[None, :] & (power <= 0.0)
+    if sigma_cutoff is not None:
+        # nσ hard cutoff — matches the implicit bbox truncation of the tile
+        # rasterizer so the two can be compared exactly in tests.
+        keep &= power >= -0.5 * sigma_cutoff**2
+    alpha = jnp.where(keep, alpha, 0.0)
 
     one_minus = 1.0 - alpha
     # Exclusive cumulative transmittance along the depth-sorted axis.

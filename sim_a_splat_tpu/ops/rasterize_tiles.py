@@ -1,0 +1,256 @@
+"""Fast tile-based differentiable rasterizer for 3D Gaussian splatting.
+
+TPU-native re-design of the gsplat CUDA rasterizer the reference invokes via
+nerfstudio (ns_utils/nerfstudio_utils.py:166-171) and the browser WebGL
+renderer behind ``client.get_render`` (splat_env_wrapper.py:148-157).
+
+The CUDA original is built on dynamic memory and atomics (variable-length
+per-tile gaussian lists, atomic gradient accumulation).  Neither exists on
+TPU, so the pipeline is reformulated with fixed shapes and sort/segment
+primitives that XLA compiles well:
+
+  1. project           — EWA projection of all N gaussians (ops/projection.py)
+  2. tile binning      — each gaussian emits up to M (tile, depth, idx)
+                         tuples covering its 3σ bounding box;
+                         ``lax.sort(num_keys=2)`` orders them by
+                         (tile, depth); per-tile segments are located with
+                         two ``searchsorted`` calls (no scatter, no atomics)
+  3. per-tile gather   — fixed capacity K nearest gaussians per tile
+                         (depth-sorted ⇒ truncation drops the farthest)
+  4. compositing       — ``lax.scan`` over K/chunk chunks; within a chunk the
+                         front-to-back recurrence is the closed form
+                         w = α·cumprod(1−α)·T_carry, and the color
+                         accumulation is a (P×chunk)·(chunk×3) matmul (MXU).
+                         The scan body is wrapped in ``jax.checkpoint`` so
+                         the backward pass recomputes per-chunk alphas from
+                         the chunk-boundary transmittances instead of
+                         storing the (T, P, K) alpha tensor (the TPU
+                         equivalent of gsplat's recompute-in-backward).
+
+Everything is fixed-shape ⇒ jit/vmap/shard_map-compatible; truncation is
+reported via :class:`RasterAux` instead of silently dropped (SURVEY.md §7
+"hard parts").  Differentiable w.r.t. gaussian parameters and camera; the
+binning/sort indices are integer data and act as constants in the backward
+pass, exactly like the CUDA rasterizer's sorted lists.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sim_a_splat_tpu.ops import sh as sh_ops
+from sim_a_splat_tpu.ops.projection import Camera, Projected, project, view_directions
+from sim_a_splat_tpu.ops.rasterize_reference import ALPHA_CLAMP, ALPHA_MIN
+
+
+class RasterConfig(NamedTuple):
+    """Static rasterizer configuration (hashable ⇒ safe as a jit static)."""
+
+    tile_size: int = 16            # pixels per tile side
+    tile_capacity: int = 256       # K: max gaussians composited per tile
+    max_tiles_per_gaussian: int = 16  # M: bbox slots per gaussian
+    chunk: int = 64                # compositing chunk (scan step)
+    sigma_cutoff: Optional[float] = None  # drop contributions beyond nσ
+
+
+class RasterAux(NamedTuple):
+    """Truncation accounting (the fixed-shape analogue of CUDA's exact lists)."""
+
+    tile_counts: jnp.ndarray        # (T,) gaussians binned per tile
+    n_overflowed_tiles: jnp.ndarray  # tiles with count > capacity K
+    n_slot_truncated: jnp.ndarray    # gaussians whose tile bbox exceeded M
+    alpha: jnp.ndarray              # (H, W) final opacity
+    depth: jnp.ndarray              # (H, W) alpha-weighted mean depth
+
+
+def _bin_gaussians(proj: Projected, config: RasterConfig, tx: int, ty: int):
+    """(tile, depth)-sorted gaussian ids + per-tile segment starts/counts."""
+    ts = config.tile_size
+    M = config.max_tiles_per_gaussian
+    T = tx * ty
+    N = proj.xy.shape[0]
+
+    x, y = proj.xy[..., 0], proj.xy[..., 1]
+    r = proj.radius
+    tx0 = jnp.clip(jnp.floor((x - r) / ts), 0, tx - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((x + r) / ts), 0, tx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((y - r) / ts), 0, ty - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((y + r) / ts), 0, ty - 1).astype(jnp.int32)
+    bw = tx1 - tx0 + 1
+    bh = ty1 - ty0 + 1
+
+    m = jnp.arange(M, dtype=jnp.int32)
+    dx = m[None, :] % bw[:, None]
+    dy = m[None, :] // bw[:, None]
+    slot_valid = (m[None, :] < (bw * bh)[:, None]) & proj.valid[:, None]
+    tile = (ty0[:, None] + dy) * tx + (tx0[:, None] + dx)
+    tile = jnp.where(slot_valid, tile, T).astype(jnp.int32)  # T = sentinel
+
+    depth_b = jnp.broadcast_to(proj.depth[:, None], (N, M))
+    gidx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, M))
+
+    sorted_tile, _, sorted_gidx = lax.sort(
+        (tile.reshape(-1), depth_b.reshape(-1), gidx.reshape(-1)), num_keys=2
+    )
+
+    tids = jnp.arange(T, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tids, side="left")
+    ends = jnp.searchsorted(sorted_tile, tids, side="right")
+    counts = (ends - starts).astype(jnp.int32)
+    n_slot_truncated = jnp.sum((bw * bh > M) & proj.valid)
+    return sorted_gidx, starts, counts, n_slot_truncated
+
+
+def _tile_pixel_centers(tx: int, ty: int, ts: int, dtype=jnp.float32):
+    """(T, P, 2) pixel-center coordinates, row-major tiles and pixels."""
+    t = jnp.arange(tx * ty, dtype=dtype)
+    ox = (t % tx) * ts
+    oy = (t // tx) * ts
+    p = jnp.arange(ts * ts, dtype=dtype)
+    px = ox[:, None] + (p % ts)[None, :] + 0.5
+    py = oy[:, None] + (p // ts)[None, :] + 0.5
+    return px, py
+
+
+def render_binned(
+    proj: Projected,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    camera: Camera,
+    config: RasterConfig = RasterConfig(),
+    background: jnp.ndarray | None = None,
+):
+    """Tile-render already-projected gaussians → ((H, W, 3) image, RasterAux)."""
+    ts = config.tile_size
+    K = config.tile_capacity
+    chunk = min(config.chunk, K)
+    if K % chunk:
+        raise ValueError(f"tile_capacity {K} must be a multiple of chunk {chunk}")
+    H, W = camera.height, camera.width
+    tx = -(-W // ts)
+    ty = -(-H // ts)
+    T = tx * ty
+    P = ts * ts
+
+    sorted_gidx, starts, counts, n_slot_trunc = _bin_gaussians(proj, config, tx, ty)
+
+    # Fixed-capacity per-tile gather (depth-sorted ⇒ keep the K nearest).
+    k = jnp.arange(K, dtype=jnp.int32)
+    sel = jnp.clip(starts[:, None] + k[None, :], 0, sorted_gidx.shape[0] - 1)
+    entry_valid = k[None, :] < jnp.minimum(counts, K)[:, None]
+    g = sorted_gidx[sel]                                   # (T, K)
+
+    gxy = proj.xy[g]                                       # (T, K, 2)
+    gconic = proj.conic[g]                                 # (T, K, 3)
+    gcol = colors[g]                                       # (T, K, 3)
+    gdepth = proj.depth[g]                                 # (T, K)
+    gop = jnp.where(entry_valid, jnp.clip(opacities, 0.0, 1.0)[g], 0.0)
+
+    px, py = _tile_pixel_centers(tx, ty, ts, gxy.dtype)    # (T, P)
+
+    nc = K // chunk
+    def to_xs(a):
+        return jnp.moveaxis(
+            a.reshape((T, nc, chunk) + a.shape[2:]), 1, 0
+        )
+    xs = tuple(map(to_xs, (gxy, gconic, gcol, gop, gdepth)))
+
+    if config.sigma_cutoff is not None:
+        power_min = -0.5 * config.sigma_cutoff**2
+    else:
+        power_min = None
+
+    @jax.checkpoint
+    def body(carry, x):
+        rgb, depth_acc, trans = carry
+        cxy, cconic, ccol, cop, cdep = x
+        dx = px[:, :, None] - cxy[:, None, :, 0]           # (T, P, chunk)
+        dy = py[:, :, None] - cxy[:, None, :, 1]
+        a = cconic[:, None, :, 0]
+        b = cconic[:, None, :, 1]
+        c = cconic[:, None, :, 2]
+        power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+        alpha = cop[:, None, :] * jnp.exp(jnp.minimum(power, 0.0))
+        alpha = jnp.minimum(alpha, ALPHA_CLAMP)
+        keep = alpha >= ALPHA_MIN
+        if power_min is not None:
+            keep &= power >= power_min
+        alpha = jnp.where(keep, alpha, 0.0)
+
+        one_minus = 1.0 - alpha
+        cp = jnp.cumprod(one_minus, axis=-1)
+        excl = jnp.concatenate(
+            [jnp.ones_like(cp[..., :1]), cp[..., :-1]], axis=-1
+        )
+        w = alpha * excl * trans[..., None]                # (T, P, chunk)
+        rgb = rgb + jnp.einsum("tpk,tkc->tpc", w, ccol)    # MXU
+        depth_acc = depth_acc + jnp.einsum("tpk,tk->tp", w, cdep)
+        trans = trans * cp[..., -1]
+        return (rgb, depth_acc, trans), None
+
+    init = (
+        jnp.zeros((T, P, 3), gxy.dtype),
+        jnp.zeros((T, P), gxy.dtype),
+        jnp.ones((T, P), gxy.dtype),
+    )
+    (rgb, depth_acc, trans), _ = lax.scan(body, init, xs)
+
+    if background is None:
+        background = jnp.zeros(3, dtype=rgb.dtype)
+    rgb = rgb + trans[..., None] * background
+
+    def untile(a):
+        extra = a.shape[2:]
+        a = a.reshape((ty, tx, ts, ts) + extra)
+        a = jnp.moveaxis(a, 2, 1)
+        return a.reshape((ty * ts, tx * ts) + extra)[:H, :W]
+
+    img = untile(rgb)
+    alpha_img = untile(1.0 - trans)
+    depth_img = untile(depth_acc) / jnp.maximum(untile(1.0 - trans), 1e-10)
+
+    aux = RasterAux(
+        tile_counts=counts,
+        n_overflowed_tiles=jnp.sum(counts > K),
+        n_slot_truncated=n_slot_trunc,
+        alpha=alpha_img,
+        depth=depth_img,
+    )
+    return img, aux
+
+
+def rasterize(
+    means: jnp.ndarray,
+    covs: jnp.ndarray,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    camera: Camera,
+    config: RasterConfig = RasterConfig(),
+    background: jnp.ndarray | None = None,
+):
+    """Project + tile-render world-space gaussians → ((H, W, 3), RasterAux).
+
+    Drop-in fast equivalent of :func:`render_reference` (same math; tiled).
+    """
+    proj = project(means, covs, camera)
+    return render_binned(proj, colors, opacities, camera, config, background)
+
+
+def rasterize_sh(
+    means: jnp.ndarray,
+    covs: jnp.ndarray,
+    sh_coeffs: jnp.ndarray,
+    opacities: jnp.ndarray,
+    camera: Camera,
+    sh_degree: int,
+    config: RasterConfig = RasterConfig(),
+    background: jnp.ndarray | None = None,
+):
+    """Tile rasterization with view-dependent SH colors (degree 0..3)."""
+    dirs = view_directions(means, camera)
+    colors = sh_ops.eval_sh_color(sh_coeffs, dirs, sh_degree)
+    return rasterize(means, covs, colors, opacities, camera, config, background)
