@@ -112,6 +112,23 @@ class Sim3(NamedTuple):
         """The rigid part (scale dropped) — the reference's ``icp_transform``."""
         return SE3(self.q, self.t)
 
+    def inverse(self) -> "Sim3":
+        qinv = quat.conjugate(quat.normalize(self.q))
+        s_inv = 1.0 / self.s
+        t_inv = -s_inv * quat.rotate(qinv, self.t)
+        return Sim3(qinv, t_inv, s_inv)
+
+    def compose(self, other: "Sim3") -> "Sim3":
+        """self ∘ other (apply ``other`` first): s₁R₁(s₂R₂x + t₂) + t₁."""
+        return Sim3(
+            quat.multiply(self.q, other.q),
+            self.s * quat.rotate(self.q, other.t) + self.t,
+            self.s * other.s,
+        )
+
+    def compose_se3(self, other: SE3) -> "Sim3":
+        return self.compose(Sim3(other.q, other.t, jnp.ones_like(self.s)))
+
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         s = self.s[..., None] if getattr(self.s, "ndim", 0) else self.s
         return s * quat.rotate(self.q, x) + self.t

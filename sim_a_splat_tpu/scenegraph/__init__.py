@@ -1,1 +1,20 @@
-"""(populated in subsequent milestones)"""
+"""Articulated splat scene graph (per-link subsets + SE(3) posing)."""
+
+from sim_a_splat_tpu.scenegraph.graph import SceneGraph, body_poses_from_parts
+from sim_a_splat_tpu.scenegraph.registration import (
+    attached_frame,
+    attached_frame_world,
+    canonicalize,
+    conjugated_link_transform,
+    load_icp_sim3,
+    load_link_masks,
+    splat_to_world_pose,
+    world_to_splat_pose,
+)
+
+__all__ = [
+    "SceneGraph", "body_poses_from_parts",
+    "attached_frame", "attached_frame_world", "canonicalize",
+    "conjugated_link_transform", "load_icp_sim3", "load_link_masks",
+    "splat_to_world_pose", "world_to_splat_pose",
+]
