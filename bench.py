@@ -1,0 +1,97 @@
+"""Benchmark: pushT splat env observation throughput, fwd+bwd, per chip.
+
+Primary metric (BASELINE.md north star): frames/s/chip rendering 256×256
+observations for a batch of parallel pushT splat envs — full pipeline per
+frame: physics control step (10 substeps) → scene-graph posing → 3DGS tile
+rasterization → pixel-loss backward to all gaussian parameters.
+
+The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is
+reported against the north-star target density of 10_000 frames/s on a
+v5e-16 ⇒ 625 frames/s/chip.
+
+Prints exactly ONE JSON line on stdout; progress goes to stderr.
+Env overrides: BENCH_B (envs), BENCH_N (gaussians), BENCH_RES, BENCH_ITERS.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_scene, _make_step
+    from sim_a_splat_tpu.ops.rasterize_tiles import RasterConfig
+    from sim_a_splat_tpu.physics import pusht
+
+    B = int(os.environ.get("BENCH_B", "8"))
+    N = int(os.environ.get("BENCH_N", "100000"))
+    RES = int(os.environ.get("BENCH_RES", "256"))
+    ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+
+    dev = jax.devices()[0]
+    log(f"bench: device={dev.platform}/{dev.device_kind} B={B} N={N} "
+        f"res={RES} iters={ITERS}")
+
+    n_block = max(N // 20, 100)
+    n_agent = max(N // 50, 50)
+    graph = _build_scene(n_bg=N - n_block - n_agent, n_block=n_block,
+                         n_agent=n_agent, seed=0)
+    raster = RasterConfig(tile_size=16, tile_capacity=1024,
+                          max_tiles_per_gaussian=16, chunk=64,
+                          sigma_cutoff=3.0)
+    step, P = _make_step(graph, RES, RES, raster)
+
+    keys = jax.random.split(jax.random.key(0), B)
+    states = jax.vmap(lambda k: pusht.reset(P, k))(keys)
+    actions = jnp.tile(jnp.asarray([150.0, 250.0], jnp.float32), (B, 1))
+
+    def fwd_bwd(scene, states, actions):
+        def loss_fn(sc):
+            new_states, imgs = jax.vmap(
+                lambda s, a: step(sc, s, a))(states, actions)
+            return jnp.mean(imgs ** 2), new_states
+
+        (loss, new_states), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(scene)
+        return new_states, loss, grads
+
+    jitted = jax.jit(fwd_bwd, donate_argnums=(1,))
+
+    log("compiling (first call)...")
+    t0 = time.time()
+    states, loss, grads = jitted(graph.scene, states, actions)
+    jax.block_until_ready(loss)
+    log(f"compiled+first step in {time.time() - t0:.1f}s, loss={float(loss):.5f}")
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        states, loss, grads = jitted(graph.scene, states, actions)
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+
+    frames = B * ITERS
+    fps = frames / dt
+    target_per_chip = 10_000 / 16.0
+    result = {
+        "metric": f"pusht_splat_env_frames_per_s_per_chip_{RES}x{RES}_fwdbwd",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / target_per_chip, 4),
+    }
+    log(f"steady: {frames} frames in {dt:.2f}s → {fps:.1f} f/s "
+        f"(ms/frame {1e3 * dt / frames:.2f})")
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,236 @@
+"""Splat observation wrapper — the integration layer (reference C17).
+
+``SplatEnvWrapper`` (splat_env_wrapper.py:13-163) wires a simulator env to
+the splat scene: after every inner step it ships a draw message to the
+``SplatHandler`` (browser round-trip per camera, :148-157) and injects
+``camera_{i}`` CHW images into the observation dict (:132-138).
+
+TPU-natively the whole path is in-process and jitted: draw state (batched
+SE(3)) → scene-graph posing (one gather-transform) → tile rasterizer per
+camera.  No viser server, no client wait loop (:87-94), no websocket;
+``vmap`` over envs replaces N browser sessions.
+
+Camera configuration keeps the reference's dict schema
+(splat_env_wrapper.py:33-65): ``{key: {type: viewport|static|moving,
+link_name, local_frame, render_size (h, w)}}`` with cameras ordered moving
+first, then fixed — exactly the ``render_cam_keys`` order (:53-55) so
+``camera_{i}`` indices match.  Because viser's browser camera supplied the
+field of view implicitly, specs here carry an explicit ``fov`` (vertical,
+radians; default ≈ viser's 75°).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sim_a_splat_tpu.envs.manipulator_envs import ManipulatorEnvF
+from sim_a_splat_tpu.messaging.draw import DrawState, ROBOT_NUM_ROBOT, ROBOT_NUM_TASK
+from sim_a_splat_tpu.ops import quaternion as quat
+from sim_a_splat_tpu.ops.projection import Camera
+from sim_a_splat_tpu.ops.rasterize_tiles import RasterConfig, rasterize_sh
+from sim_a_splat_tpu.ops.transforms import SE3, Sim3
+from sim_a_splat_tpu.scenegraph import SceneGraph, canonicalize, splat_to_world_pose
+from sim_a_splat_tpu.splat.scene import GaussianScene
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraSpec:
+    """One camera (the reference camera-dict entry, splat_env_wrapper.py:
+    33-65).  ``local_frame`` is a world pose (viewport/static) or a
+    link-local offset (moving); ``frame='splat'`` poses are converted to
+    world at setup."""
+
+    type: str                         # "viewport" | "static" | "moving"
+    render_size: tuple                # (height, width)
+    local_frame: tuple                # (q wxyz, t) — pose or link offset
+    link_name: Optional[str] = None   # for "moving"
+    fov: float = 1.3089               # vertical fov (viser default ≈ 75°)
+    rotate_offset: bool = False       # reference adds offsets in world axes
+                                      # (splat_handler.py:316-332 quirk)
+
+    def pose(self) -> SE3:
+        return SE3(jnp.asarray(self.local_frame[0], jnp.float32),
+                   jnp.asarray(self.local_frame[1], jnp.float32))
+
+
+class SplatTransition(NamedTuple):
+    state: Any
+    obs: dict
+    reward: jnp.ndarray
+    terminated: jnp.ndarray
+    truncated: jnp.ndarray
+    info: dict
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class SplatEnvWrapperF:
+    """Functional splat wrapper over a manipulator(-EEF) functional env."""
+
+    env: Any                          # top-level env (step/reset)
+    graph: SceneGraph
+    cameras: tuple                    # ((key, CameraSpec), ...) setup order
+    schema_to_body: np.ndarray        # (n_schema,) graph body id or 0
+    raster: RasterConfig = RasterConfig(tile_capacity=1024, chunk=128)
+    background: tuple = (0.0, 0.0, 0.0)
+
+    # --- construction -------------------------------------------------------
+
+    @staticmethod
+    def build(
+        env: Any,
+        scene: GaussianScene,
+        link_masks: dict,
+        camera_setup_info: dict,
+        icp: Sim3 | None = None,
+        rest_poses_world: SE3 | None = None,
+        task_mask_key: str | None = None,
+        scene_frame: str = "splat",
+        raster: RasterConfig = RasterConfig(tile_capacity=1024, chunk=128),
+    ) -> "SplatEnvWrapperF":
+        """Assemble the wrapper from segmentation artifacts.
+
+        Mirrors ``SplatHandler.__init__`` (splat_handler.py:24-60): link
+        masks keyed ``link0..linkN`` map in order to the robot-numbered
+        schema links (the reference's sequential ``local_idx`` walk,
+        :238-289 — but with no 7-link cap); ``task_mask_key`` maps to the
+        task body.  ``scene_frame='splat'`` canonicalizes through ``icp``
+        once (scenegraph/registration.py) so runtime is world-frame SE(3).
+        """
+        base_env = env.env if hasattr(env, "env") else env
+        schema = base_env.schema()
+
+        if scene_frame == "splat":
+            if icp is None:
+                raise ValueError("icp required for scene_frame='splat'")
+            scene = canonicalize(scene, icp)
+
+        robot_keys = sorted(
+            [k for k in link_masks if k != task_mask_key],
+            key=lambda s: (len(s), s))
+        mask_list = [np.asarray(link_masks[k], bool) for k in robot_keys]
+        if task_mask_key is not None:
+            mask_list.append(np.asarray(link_masks[task_mask_key], bool))
+
+        # schema → body id: robot-numbered links in order take 1..n_robot
+        schema_to_body = np.zeros(len(schema.links), np.int32)
+        local_idx = 0
+        for i, l in enumerate(schema.links):
+            if l.robot_num == ROBOT_NUM_ROBOT and local_idx < len(robot_keys):
+                # skip dummy URDF roots with no geometry to bind
+                name = l.name.removeprefix("plant::")
+                if name == "world":
+                    continue
+                schema_to_body[i] = local_idx + 1
+                local_idx += 1
+            elif l.robot_num == ROBOT_NUM_TASK and task_mask_key is not None:
+                schema_to_body[i] = len(robot_keys) + 1
+
+        if rest_poses_world is None:
+            rest_poses_world = SE3.identity((len(mask_list) + 1,))
+        graph = SceneGraph.from_masks(scene, mask_list,
+                                      rest_poses=rest_poses_world)
+
+        cams = []
+        moving = [(k, v) for k, v in camera_setup_info.items()
+                  if v.type == "moving"]
+        fixed = [(k, v) for k, v in camera_setup_info.items()
+                 if v.type in ("viewport", "static")]
+        for k, v in moving + fixed:     # reference render_cam_keys order
+            if scene_frame == "splat" and v.type != "moving":
+                p = splat_to_world_pose(v.pose(), icp)
+                v = dataclasses.replace(
+                    v, local_frame=(tuple(np.asarray(p.q)),
+                                    tuple(np.asarray(p.t))))
+            cams.append((k, v))
+
+        return SplatEnvWrapperF(
+            env=env, graph=graph, cameras=tuple(cams),
+            schema_to_body=schema_to_body, raster=raster)
+
+    # --- core ---------------------------------------------------------------
+
+    def _base_env(self) -> ManipulatorEnvF:
+        return self.env.env if hasattr(self.env, "env") else self.env
+
+    def _body_poses(self, draw: DrawState) -> SE3:
+        """Scatter schema-ordered draw poses into graph body slots —
+        the ``draw_handler`` equivalent (splat_handler.py:227-314)."""
+        nb = self.graph.num_bodies
+        q = jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                             (nb, 4))
+        t = jnp.zeros((nb, 3), jnp.float32)
+        sel = jnp.asarray(self.schema_to_body)
+        q = q.at[sel].set(jnp.where((sel > 0)[:, None], draw.poses.q, q[sel]))
+        t = t.at[sel].set(jnp.where((sel > 0)[:, None], draw.poses.t, t[sel]))
+        return SE3(q, t)
+
+    def camera_poses(self, env_state, draw: DrawState) -> list:
+        """Moving-camera poses from link frames + fixed poses, in
+        ``render_cam_keys`` order (splat_env_wrapper.py:106-118, :140-148)."""
+        base = self._base_env()
+        schema_names = [l.name for l in base.schema().links]
+        poses = []
+        for key, spec in self.cameras:
+            if spec.type == "moving":
+                idx = schema_names.index(f"plant::{spec.link_name}")
+                link = SE3(draw.poses.q[idx], draw.poses.t[idx])
+                off_q = jnp.asarray(spec.local_frame[0], jnp.float32)
+                off_t = jnp.asarray(spec.local_frame[1], jnp.float32)
+                if spec.rotate_offset:
+                    t = link.t + quat.rotate(link.q, off_t)
+                else:
+                    # reference get_attached_frame adds the offset in world
+                    # axes (splat_handler.py:322-327)
+                    t = link.t + off_t
+                poses.append(SE3(quat.multiply(link.q, off_q), t))
+            else:
+                poses.append(spec.pose())
+        return poses
+
+    def render(self, env_state, draw: DrawState | None = None) -> list:
+        """One image per configured camera ((H, W, 3) float, render order =
+        camera_{i} order)."""
+        base = self._base_env()
+        if draw is None:
+            draw = base.draw_state(env_state)
+        posed = self.graph.posed(self._body_poses(draw))
+        covs = posed.covs()
+        sh = posed.sh_coeffs()
+        opac = posed.opacities()
+        bg = jnp.asarray(self.background, jnp.float32)
+        imgs = []
+        for pose, (key, spec) in zip(self.camera_poses(env_state, draw),
+                                     self.cameras):
+            h, w = spec.render_size
+            cam = Camera.from_fov(pose, spec.fov, int(w), int(h))
+            img, _ = rasterize_sh(posed.means, covs, sh, opac, cam,
+                                  posed.sh_degree, self.raster, background=bg)
+            imgs.append(img)
+        return imgs
+
+    def observe(self, env_state, inner_obs: dict) -> dict:
+        """Inner obs + ``camera_{i}`` CHW images (splat_env_wrapper.py:
+        132-138)."""
+        imgs = self.render(env_state)
+        obs = dict(inner_obs)
+        for i, img in enumerate(imgs):
+            obs[f"camera_{i}"] = jnp.moveaxis(img, -1, 0)
+        return obs
+
+    # --- env API ------------------------------------------------------------
+
+    def reset(self, key: jax.Array, reset_to_state=None):
+        state, obs = self.env.reset(key, reset_to_state)
+        return state, self.observe(state, obs)
+
+    def step(self, state, action, noobs: bool = False) -> SplatTransition:
+        tr = self.env.step(state, action)
+        obs = tr.obs if noobs else self.observe(tr.state, tr.obs)
+        return SplatTransition(state=tr.state, obs=obs, reward=tr.reward,
+                               terminated=tr.terminated,
+                               truncated=tr.truncated, info=tr.info)

@@ -116,46 +116,44 @@ def _tile_pixel_centers(tx: int, ty: int, ts: int, dtype=jnp.float32):
     return px, py
 
 
-def render_binned(
-    proj: Projected,
-    colors: jnp.ndarray,
-    opacities: jnp.ndarray,
-    camera: Camera,
-    config: RasterConfig = RasterConfig(),
-    background: jnp.ndarray | None = None,
+def composite_tiles(
+    gxy: jnp.ndarray,
+    gconic: jnp.ndarray,
+    gcol: jnp.ndarray,
+    gop: jnp.ndarray,
+    gdepth: jnp.ndarray,
+    tile_ids: jnp.ndarray,
+    config: RasterConfig,
+    tx: int,
 ):
-    """Tile-render already-projected gaussians → ((H, W, 3) image, RasterAux)."""
+    """Chunked front-to-back compositing of per-tile gathered gaussians.
+
+    Args are (T', K, ·) per-tile lists, depth-sorted, with inactive entries
+    carrying opacity 0; ``tile_ids`` (T',) are global tile indices (so a
+    device owning a tile subset can composite just its rows — the building
+    block of the multi-device sharded renderer, parallel/render_sharding.py).
+
+    Returns (rgb (T', P, 3), depth_acc (T', P), trans (T', P)).
+    """
     ts = config.tile_size
-    K = config.tile_capacity
+    K = gxy.shape[1]
     chunk = min(config.chunk, K)
     if K % chunk:
-        raise ValueError(f"tile_capacity {K} must be a multiple of chunk {chunk}")
-    H, W = camera.height, camera.width
-    tx = -(-W // ts)
-    ty = -(-H // ts)
-    T = tx * ty
+        raise ValueError(f"tile capacity {K} must be a multiple of chunk {chunk}")
+    Tloc = gxy.shape[0]
     P = ts * ts
 
-    sorted_gidx, starts, counts, n_slot_trunc = _bin_gaussians(proj, config, tx, ty)
-
-    # Fixed-capacity per-tile gather (depth-sorted ⇒ keep the K nearest).
-    k = jnp.arange(K, dtype=jnp.int32)
-    sel = jnp.clip(starts[:, None] + k[None, :], 0, sorted_gidx.shape[0] - 1)
-    entry_valid = k[None, :] < jnp.minimum(counts, K)[:, None]
-    g = sorted_gidx[sel]                                   # (T, K)
-
-    gxy = proj.xy[g]                                       # (T, K, 2)
-    gconic = proj.conic[g]                                 # (T, K, 3)
-    gcol = colors[g]                                       # (T, K, 3)
-    gdepth = proj.depth[g]                                 # (T, K)
-    gop = jnp.where(entry_valid, jnp.clip(opacities, 0.0, 1.0)[g], 0.0)
-
-    px, py = _tile_pixel_centers(tx, ty, ts, gxy.dtype)    # (T, P)
+    t = tile_ids.astype(gxy.dtype)
+    ox = (t % tx) * ts
+    oy = (t // tx) * ts
+    p = jnp.arange(P, dtype=gxy.dtype)
+    px = ox[:, None] + (p % ts)[None, :] + 0.5             # (T', P)
+    py = oy[:, None] + (p // ts)[None, :] + 0.5
 
     nc = K // chunk
     def to_xs(a):
         return jnp.moveaxis(
-            a.reshape((T, nc, chunk) + a.shape[2:]), 1, 0
+            a.reshape((Tloc, nc, chunk) + a.shape[2:]), 1, 0
         )
     xs = tuple(map(to_xs, (gxy, gconic, gcol, gop, gdepth)))
 
@@ -168,7 +166,7 @@ def render_binned(
     def body(carry, x):
         rgb, depth_acc, trans = carry
         cxy, cconic, ccol, cop, cdep = x
-        dx = px[:, :, None] - cxy[:, None, :, 0]           # (T, P, chunk)
+        dx = px[:, :, None] - cxy[:, None, :, 0]           # (T', P, chunk)
         dy = py[:, :, None] - cxy[:, None, :, 1]
         a = cconic[:, None, :, 0]
         b = cconic[:, None, :, 1]
@@ -186,28 +184,87 @@ def render_binned(
         excl = jnp.concatenate(
             [jnp.ones_like(cp[..., :1]), cp[..., :-1]], axis=-1
         )
-        w = alpha * excl * trans[..., None]                # (T, P, chunk)
+        w = alpha * excl * trans[..., None]                # (T', P, chunk)
         rgb = rgb + jnp.einsum("tpk,tkc->tpc", w, ccol)    # MXU
         depth_acc = depth_acc + jnp.einsum("tpk,tk->tp", w, cdep)
         trans = trans * cp[..., -1]
         return (rgb, depth_acc, trans), None
 
+    # derive the init from the inputs so its device-varying type matches the
+    # scan outputs under shard_map (replicated init + varying carry is a
+    # type error; see jax shard-map vma docs)
+    vary0 = gxy[:, 0, 0] * 0.0                             # (T',) zeros
     init = (
-        jnp.zeros((T, P, 3), gxy.dtype),
-        jnp.zeros((T, P), gxy.dtype),
-        jnp.ones((T, P), gxy.dtype),
+        jnp.zeros((Tloc, P, 3), gxy.dtype) + vary0[:, None, None],
+        jnp.zeros((Tloc, P), gxy.dtype) + vary0[:, None],
+        jnp.ones((Tloc, P), gxy.dtype) + vary0[:, None],
     )
     (rgb, depth_acc, trans), _ = lax.scan(body, init, xs)
+    return rgb, depth_acc, trans
+
+
+def untile_image(a: jnp.ndarray, tx: int, ty: int, ts: int, H: int, W: int):
+    """(T, P, ...) tile-major pixels → (H, W, ...) image."""
+    extra = a.shape[2:]
+    a = a.reshape((ty, tx, ts, ts) + extra)
+    a = jnp.moveaxis(a, 2, 1)
+    return a.reshape((ty * ts, tx * ts) + extra)[:H, :W]
+
+
+def gather_tile_lists(
+    proj: Projected,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    config: RasterConfig,
+    tx: int,
+    ty: int,
+):
+    """Bin + fixed-capacity per-tile gather.  Returns ((T, K, ·) lists with
+    inactive entries zero-opacity, counts, n_slot_truncated)."""
+    K = config.tile_capacity
+    sorted_gidx, starts, counts, n_slot_trunc = _bin_gaussians(
+        proj, config, tx, ty)
+    k = jnp.arange(K, dtype=jnp.int32)
+    sel = jnp.clip(starts[:, None] + k[None, :], 0, sorted_gidx.shape[0] - 1)
+    entry_valid = k[None, :] < jnp.minimum(counts, K)[:, None]
+    g = sorted_gidx[sel]                                   # (T, K)
+
+    gxy = proj.xy[g]                                       # (T, K, 2)
+    gconic = proj.conic[g]                                 # (T, K, 3)
+    gcol = colors[g]                                       # (T, K, 3)
+    gdepth = proj.depth[g]                                 # (T, K)
+    gop = jnp.where(entry_valid, jnp.clip(opacities, 0.0, 1.0)[g], 0.0)
+    return (gxy, gconic, gcol, gop, gdepth), counts, n_slot_trunc
+
+
+def render_binned(
+    proj: Projected,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    camera: Camera,
+    config: RasterConfig = RasterConfig(),
+    background: jnp.ndarray | None = None,
+):
+    """Tile-render already-projected gaussians → ((H, W, 3) image, RasterAux)."""
+    ts = config.tile_size
+    K = config.tile_capacity
+    H, W = camera.height, camera.width
+    tx = -(-W // ts)
+    ty = -(-H // ts)
+    T = tx * ty
+
+    (gxy, gconic, gcol, gop, gdepth), counts, n_slot_trunc = gather_tile_lists(
+        proj, colors, opacities, config, tx, ty)
+    tile_ids = jnp.arange(T, dtype=jnp.int32)
+    rgb, depth_acc, trans = composite_tiles(
+        gxy, gconic, gcol, gop, gdepth, tile_ids, config, tx)
 
     if background is None:
         background = jnp.zeros(3, dtype=rgb.dtype)
     rgb = rgb + trans[..., None] * background
 
     def untile(a):
-        extra = a.shape[2:]
-        a = a.reshape((ty, tx, ts, ts) + extra)
-        a = jnp.moveaxis(a, 2, 1)
-        return a.reshape((ty * ts, tx * ts) + extra)[:H, :W]
+        return untile_image(a, tx, ty, ts, H, W)
 
     img = untile(rgb)
     alpha_img = untile(1.0 - trans)

@@ -1,0 +1,78 @@
+"""Device mesh setup and sharding helpers.
+
+The reference has no distributed execution at all (SURVEY.md §2.2): its only
+"communication backends" are LCM messages and websockets between processes
+on one machine.  The TPU-native framework's first-class scaling axes are:
+
+- ``env``  — data parallelism over environment instances (vmap within a
+  chip, shard across the mesh),
+- ``prim`` — primitive/tile sharding inside the renderer for scenes too
+  large for one chip (the rasterizer's analogue of sequence parallelism).
+
+Built on ``jax.sharding`` + ``shard_map``; multi-process pods initialize
+via :func:`initialize_distributed` (jax.distributed) and the same code runs
+unchanged on a virtual ``--xla_force_host_platform_device_count`` CPU mesh
+for tests (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+ENV_AXIS = "env"
+PRIM_AXIS = "prim"
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-process init (jax.distributed).  No-op when single-process or
+    already initialized — safe to call unconditionally at program start."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # single-process or already initialized
+
+
+def make_mesh(env: int | None = None, prim: int = 1,
+              devices=None) -> Mesh:
+    """Mesh with an ``env`` data axis and an optional ``prim`` render axis.
+
+    ``env=None`` uses all remaining devices.  Axis order is (env, prim) so
+    the env axis maps to the slower/outer device dimension and primitive
+    exchange collectives ride neighboring ICI links.
+    """
+    devices = np.asarray(jax.devices() if devices is None else devices)
+    n = devices.size
+    if env is None:
+        if n % prim:
+            raise ValueError(f"{n} devices not divisible by prim={prim}")
+        env = n // prim
+    if env * prim != n:
+        devices = devices[: env * prim]
+    return Mesh(devices.reshape(env, prim), (ENV_AXIS, PRIM_AXIS))
+
+
+def env_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-leading arrays sharded over the env axis, replicated over prim."""
+    return NamedSharding(mesh, P(ENV_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def prim_sharding(mesh: Mesh) -> NamedSharding:
+    """Gaussian-leading arrays sharded over the prim axis."""
+    return NamedSharding(mesh, P(PRIM_AXIS))
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put a batched pytree with the env-axis sharding."""
+    s = env_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    s = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
