@@ -1,0 +1,222 @@
+"""Per-link splat mask extraction: point-vs-mesh distance and occupancy.
+
+Replaces Open3D's RaycastingScene occupancy/distance queries
+(match_splat.py:240-251, native component N9) with vectorized numpy:
+exact point-to-triangle distance and ray-parity occupancy, chunked over
+points so memory stays bounded.  Offline-only — precision over speed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sim_a_splat_tpu.tools.meshio import TriMesh
+
+
+def point_triangle_distance(points: np.ndarray, tri: np.ndarray) -> np.ndarray:
+    """Min distance of each point (P, 3) to each triangle (T, 3, 3) → (P, T)."""
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+    ab = b - a
+    ac = c - a
+    p = points[:, None, :]                                  # (P, 1, 3)
+    ap = p - a[None]
+    d1 = np.einsum("tk,ptk->pt", ab, ap)
+    d2 = np.einsum("tk,ptk->pt", ac, ap)
+    bp = p - b[None]
+    d3 = np.einsum("tk,ptk->pt", ab, bp)
+    d4 = np.einsum("tk,ptk->pt", ac, bp)
+    cp = p - c[None]
+    d5 = np.einsum("tk,ptk->pt", ab, cp)
+    d6 = np.einsum("tk,ptk->pt", ac, cp)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = va + vb + vc
+    v = np.where(np.abs(denom) > 1e-300, vb / denom, 0.0)
+    w = np.where(np.abs(denom) > 1e-300, vc / denom, 0.0)
+
+    # region tests (Ericson, Real-Time Collision Detection §5.1.5)
+    closest = a[None] + v[..., None] * ab[None] + w[..., None] * ac[None]
+    # vertex regions
+    closest = np.where((d1 <= 0)[..., None] & (d2 <= 0)[..., None],
+                       np.broadcast_to(a[None], closest.shape), closest)
+    closest = np.where((d3 >= 0)[..., None] & (d4 <= d3)[..., None],
+                       np.broadcast_to(b[None], closest.shape), closest)
+    closest = np.where((d6 >= 0)[..., None] & (d5 <= d6)[..., None],
+                       np.broadcast_to(c[None], closest.shape), closest)
+    # edge regions
+    vab = np.clip(np.where(np.abs(d1 - d3) > 1e-300, d1 / (d1 - d3), 0.0), 0, 1)
+    on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    closest = np.where(on_ab[..., None], a[None] + vab[..., None] * ab[None],
+                       closest)
+    vac = np.clip(np.where(np.abs(d2 - d6) > 1e-300, d2 / (d2 - d6), 0.0), 0, 1)
+    on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    closest = np.where(on_ac[..., None], a[None] + vac[..., None] * ac[None],
+                       closest)
+    num = d4 - d3
+    den = (d4 - d3) + (d5 - d6)
+    vbc = np.clip(np.where(np.abs(den) > 1e-300, num / den, 0.0), 0, 1)
+    on_bc = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+    closest = np.where(on_bc[..., None],
+                       b[None] + vbc[..., None] * (c - b)[None], closest)
+    return np.linalg.norm(p - closest, axis=-1)
+
+
+def distance_to_mesh(points: np.ndarray, mesh: TriMesh,
+                     chunk: int = 512) -> np.ndarray:
+    """(P,) unsigned distance to the mesh surface (exact, O(P·T))."""
+    tri = mesh.vertices[mesh.faces]                        # (T, 3, 3)
+    out = np.empty(len(points))
+    for i in range(0, len(points), chunk):
+        out[i:i + chunk] = point_triangle_distance(
+            np.asarray(points[i:i + chunk], np.float64), tri).min(axis=1)
+    return out
+
+
+def signed_distance_fast(points: np.ndarray, mesh: TriMesh,
+                         k: int = 12) -> np.ndarray:
+    """(P,) approximately-signed distance via KD-tree triangle candidates.
+
+    Nearest ``k`` triangles by centroid (cKDTree), exact point-triangle
+    distance on the candidates, sign from the nearest face's normal
+    (pseudo-normal test).  Near-exact for real scan/CAD meshes at a
+    fraction of the O(P·T) cost — this is what Open3D's BVH bought the
+    reference (match_splat.py:244-251).
+    """
+    from scipy.spatial import cKDTree
+
+    tri = mesh.vertices[mesh.faces]                        # (T, 3, 3)
+    centroids = tri.mean(axis=1)
+    normals = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    normals /= np.maximum(np.linalg.norm(normals, axis=-1, keepdims=True),
+                          1e-300)
+    tree = cKDTree(centroids)
+    pts = np.asarray(points, np.float64)
+    k = min(k, mesh.num_faces)
+    _, cand = tree.query(pts, k=k)                         # (P, k)
+    cand = cand.reshape(len(pts), -1)
+    out = np.empty(len(pts))
+    sign = np.empty(len(pts))
+    chunk = 2048
+    for i in range(0, len(pts), chunk):
+        p = pts[i:i + chunk]
+        c = cand[i:i + chunk]                              # (n, k)
+        # exact distance to each candidate triangle, per point
+        n_loc = len(p)
+        d = np.empty((n_loc, c.shape[1]))
+        for j in range(c.shape[1]):
+            tj = tri[c[:, j]]                              # (n, 3, 3)
+            d[:, j] = _point_tri_pairwise(p, tj)
+        jmin = np.argmin(d, axis=1)
+        out[i:i + chunk] = d[np.arange(n_loc), jmin]
+        nearest_tri = c[np.arange(n_loc), jmin]
+        to_p = p - centroids[nearest_tri]
+        sign[i:i + chunk] = np.sign(
+            np.einsum("nk,nk->n", to_p, normals[nearest_tri]))
+    return out * np.where(sign == 0, 1.0, sign)
+
+
+def _point_tri_pairwise(points: np.ndarray, tri: np.ndarray) -> np.ndarray:
+    """Distance of point i to triangle i — (n, 3) vs (n, 3, 3) → (n,)."""
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+    ab = b - a
+    ac = c - a
+    ap = points - a
+    d1 = np.einsum("nk,nk->n", ab, ap)
+    d2 = np.einsum("nk,nk->n", ac, ap)
+    bp = points - b
+    d3 = np.einsum("nk,nk->n", ab, bp)
+    d4 = np.einsum("nk,nk->n", ac, bp)
+    cp = points - c
+    d5 = np.einsum("nk,nk->n", ab, cp)
+    d6 = np.einsum("nk,nk->n", ac, cp)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = va + vb + vc
+    with np.errstate(divide="ignore", invalid="ignore"):
+        v = np.where(np.abs(denom) > 1e-300, vb / denom, 0.0)
+        w = np.where(np.abs(denom) > 1e-300, vc / denom, 0.0)
+    closest = a + v[:, None] * ab + w[:, None] * ac
+    closest = np.where(((d1 <= 0) & (d2 <= 0))[:, None], a, closest)
+    closest = np.where(((d3 >= 0) & (d4 <= d3))[:, None], b, closest)
+    closest = np.where(((d6 >= 0) & (d5 <= d6))[:, None], c, closest)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        vab = np.clip(np.where(np.abs(d1 - d3) > 1e-300,
+                               d1 / (d1 - d3), 0.0), 0, 1)
+        vac = np.clip(np.where(np.abs(d2 - d6) > 1e-300,
+                               d2 / (d2 - d6), 0.0), 0, 1)
+        den = (d4 - d3) + (d5 - d6)
+        vbc = np.clip(np.where(np.abs(den) > 1e-300,
+                               (d4 - d3) / den, 0.0), 0, 1)
+    closest = np.where(((vc <= 0) & (d1 >= 0) & (d3 <= 0))[:, None],
+                       a + vab[:, None] * ab, closest)
+    closest = np.where(((vb <= 0) & (d2 >= 0) & (d6 <= 0))[:, None],
+                       a + vac[:, None] * ac, closest)
+    closest = np.where(((va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0))[:, None],
+                       b + vbc[:, None] * (c - b), closest)
+    return np.linalg.norm(points - closest, axis=-1)
+
+
+def occupancy(points: np.ndarray, mesh: TriMesh,
+              chunk: int = 512) -> np.ndarray:
+    """(P,) bool point-in-mesh by +z ray-crossing parity (watertight
+    assumption, matching RaycastingScene.compute_occupancy > 0.5)."""
+    tri = mesh.vertices[mesh.faces]
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+    out = np.zeros(len(points), bool)
+    for i in range(0, len(points), chunk):
+        p = np.asarray(points[i:i + chunk], np.float64)
+        # nudge the ray origin off exact edge/vertex alignments (a ray
+        # through a shared triangle edge would be counted twice)
+        p = p + np.asarray([1.2345678e-7, 2.3456789e-7, 0.0])
+        # 2D barycentric containment in the xy-projection
+        def cross2(u, v):
+            return u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
+        pa = a[None, :, :2] - p[:, None, :2]
+        pb = b[None, :, :2] - p[:, None, :2]
+        pc = c[None, :, :2] - p[:, None, :2]
+        s1 = cross2(pa, pb)
+        s2 = cross2(pb, pc)
+        s3 = cross2(pc, pa)
+        inside2d = ((s1 >= 0) & (s2 >= 0) & (s3 >= 0)) | \
+                   ((s1 <= 0) & (s2 <= 0) & (s3 <= 0))
+        # z of the triangle plane at (px, py)
+        n = np.cross(b - a, c - a)                          # (T, 3)
+        denom = n[None, :, 2]
+        d = np.einsum("tk,tk->t", n, a)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            zhit = np.where(np.abs(denom) > 1e-12,
+                            (d[None] - n[None, :, 0] * p[:, None, 0]
+                             - n[None, :, 1] * p[:, None, 1]) / denom,
+                            -np.inf)
+        crossings = (inside2d & (zhit > p[:, None, 2] + 1e-12)).sum(axis=1)
+        out[i:i + chunk] = (crossings % 2) == 1
+    return out
+
+
+def link_mask(points: np.ndarray, mesh: TriMesh,
+              distance_threshold: float = 0.015,
+              exact_below_faces: int = 2000) -> np.ndarray:
+    """occupancy | (distance < thr) — the reference's per-link criterion
+    (match_splat.py:240-251).  Small meshes take the exact O(P·T) path;
+    large CAD/scan meshes use the KD-tree signed-distance fast path
+    (inside ⇔ signed distance < 0)."""
+    if mesh.num_faces <= exact_below_faces:
+        return occupancy(points, mesh) | (
+            distance_to_mesh(points, mesh) < distance_threshold)
+    sd = signed_distance_fast(points, mesh)
+    return sd < distance_threshold
+
+
+def global_indices(cropped_points: np.ndarray, all_points: np.ndarray,
+                   mask: np.ndarray) -> np.ndarray:
+    """Map a mask over cropped points back to a global boolean mask by exact
+    coordinate matching (match_splat.py:275-284)."""
+    sel = np.asarray(cropped_points)[np.asarray(mask, bool)]
+    view = {tuple(np.round(q, 9)) for q in sel}
+    out = np.fromiter(
+        (tuple(np.round(q, 9)) in view for q in np.asarray(all_points)),
+        bool, count=len(all_points))
+    return out
