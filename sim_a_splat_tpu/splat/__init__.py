@@ -1,4 +1,4 @@
-"""Gaussian splat scene pytrees and loaders."""
+"""Gaussian splat scene pytrees, loaders, refinement, pipeline, exports."""
 
 from sim_a_splat_tpu.splat.scene import GaussianScene
 from sim_a_splat_tpu.splat import loaders
@@ -6,8 +6,16 @@ from sim_a_splat_tpu.splat.loaders import (
     load, load_json, load_ply, load_npz, save_npz, load_nerfstudio,
     synthetic_scene, aabb_mask,
 )
+from sim_a_splat_tpu.splat.refine import (
+    cull_gaussians, duplicate_gaussians, split_gaussians,
+)
+from sim_a_splat_tpu.splat.pipeline import GaussianSplatPipeline, load_dataparser_transform
+from sim_a_splat_tpu.splat.export import ellipsoid_mesh, save_ellipsoid_ply, save_ply
 
 __all__ = [
     "GaussianScene", "loaders", "load", "load_json", "load_ply", "load_npz",
     "save_npz", "load_nerfstudio", "synthetic_scene", "aabb_mask",
+    "cull_gaussians", "duplicate_gaussians", "split_gaussians",
+    "GaussianSplatPipeline", "load_dataparser_transform",
+    "ellipsoid_mesh", "save_ellipsoid_ply", "save_ply",
 ]
