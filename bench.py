@@ -46,9 +46,10 @@ def main():
     n_agent = max(N // 50, 50)
     graph = _build_scene(n_bg=N - n_block - n_agent, n_block=n_block,
                          n_agent=n_agent, seed=0)
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
     raster = RasterConfig(tile_size=16, tile_capacity=1024,
-                          max_tiles_per_gaussian=16, chunk=64,
-                          sigma_cutoff=3.0)
+                          max_tiles_per_gaussian=16, chunk=128,
+                          sigma_cutoff=3.0, backend=backend)
     step, P = _make_step(graph, RES, RES, raster)
 
     keys = jax.random.split(jax.random.key(0), B)

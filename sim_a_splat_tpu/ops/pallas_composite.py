@@ -1,0 +1,263 @@
+"""Pallas TPU kernel for per-tile front-to-back alpha compositing.
+
+The XLA scan compositing (ops/rasterize_tiles.composite_tiles) is
+memory-bound: every chunk materializes (T, P, chunk) intermediates in HBM
+for alphas/weights, and the cumprod lowers to multiple passes.  This kernel
+keeps the whole per-tile working set in VMEM: one HBM read of the gathered
+per-tile lists, one packed write of the per-tile outputs.
+
+Layout (TPU tiling-friendly):
+- input  ``payload`` (T, 10, K): field-major rows
+  [x, y, conic a, conic b, conic c, r, g, b, depth, opacity] with the K
+  list entries on lanes (K % 128 == 0) — colors and depth contiguous so
+  accumulation is ONE (P,C)·(4,C)ᵀ MXU contraction;
+- output ``out`` (T, P, 8): per-pixel [rgb×3, depth_acc, transmittance,
+  pad×3] with P = tile_size² on sublanes;
+- output ``carries`` (T, P, NC): chunk-start transmittances — the
+  checkpoints the backward kernel restarts from (gsplat's
+  recompute-in-backward, at chunk granularity).
+
+In-kernel, each 128-entry chunk computes alphas as (P, 128) VPU blocks, the
+within-chunk cumulative transmittance as a log-space Hillis-Steele scan
+over lanes (7 shifted adds), and color+depth accumulation as one MXU
+contraction into a VMEM scratch accumulator (Mosaic supports ref-accumulate
+but not loop-carried dot accumulators).  The chunk loop is Python-unrolled:
+NC is small and static, and Mosaic needs static lane offsets for the narrow
+carry stores.  The backward kernel re-derives the gsplat gradient formulas
+chunk-forward using suffix sums — no atomics, no scatters anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sim_a_splat_tpu.ops.rasterize_reference import ALPHA_CLAMP, ALPHA_MIN
+
+CHUNK = 128   # list entries per in-kernel chunk (= one lane group)
+
+# payload row indices
+_ROW_X, _ROW_Y = 0, 1
+_ROW_CA, _ROW_CB, _ROW_CC = 2, 3, 4
+_ROW_RGBD = slice(5, 9)     # r, g, b, depth
+_ROW_OP = 9
+
+
+def _cumsum_lanes(x: jnp.ndarray, C: int) -> jnp.ndarray:
+    """Inclusive prefix sum along the last (lane) axis via Hillis-Steele."""
+    s = 1
+    P = x.shape[0]
+    while s < C:
+        shifted = jnp.concatenate(
+            [jnp.zeros((P, s), x.dtype), x[:, : C - s]], axis=1)
+        x = x + shifted
+        s *= 2
+    return x
+
+
+def _chunk_geometry(payload_ref, c0, px, py, power_min):
+    """Recompute alphas etc for one chunk: returns (P, C) blocks."""
+    C = CHUNK
+    gx = payload_ref[_ROW_X:_ROW_X + 1, c0:c0 + C]         # (1, C)
+    gy = payload_ref[_ROW_Y:_ROW_Y + 1, c0:c0 + C]
+    ca = payload_ref[_ROW_CA:_ROW_CA + 1, c0:c0 + C]
+    cb = payload_ref[_ROW_CB:_ROW_CB + 1, c0:c0 + C]
+    cc = payload_ref[_ROW_CC:_ROW_CC + 1, c0:c0 + C]
+    op = payload_ref[_ROW_OP:_ROW_OP + 1, c0:c0 + C]
+    dx = px - gx                                           # (P, C)
+    dy = py - gy
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    expp = jnp.exp(jnp.minimum(power, 0.0))
+    raw = op * expp
+    alpha = jnp.minimum(raw, ALPHA_CLAMP)
+    keep = alpha >= ALPHA_MIN
+    if power_min is not None:
+        keep &= power >= power_min
+    alpha = jnp.where(keep, alpha, 0.0)
+    active = keep & (raw < ALPHA_CLAMP)                    # clamp kills grad
+    return alpha, active, expp, dx, dy, ca, cb, cc
+
+
+def _pixel_coords(ts: int, tx: int, dtype):
+    i = pl.program_id(0)
+    ox = ((i % tx) * ts).astype(dtype)
+    oy = ((i // tx) * ts).astype(dtype)
+    P = ts * ts
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (pidx % ts).astype(dtype) + 0.5 + ox
+    py = (pidx // ts).astype(dtype) + 0.5 + oy
+    return px, py
+
+
+def _fwd_kernel(payload_ref, out_ref, carry_ref, acc_ref,
+                *, ts, tx, nc, power_min):
+    P = ts * ts
+    f32 = payload_ref.dtype
+    px, py = _pixel_coords(ts, tx, f32)
+
+    acc_ref[...] = jnp.zeros((P, 4), f32)
+    tc = jnp.ones((P, 1), f32)
+    for c in range(nc):                                    # static unroll
+        carry_ref[:, c:c + 1] = tc
+        c0 = c * CHUNK
+        alpha, _, _, _, _, _, _, _ = _chunk_geometry(
+            payload_ref, c0, px, py, power_min)
+        l = jnp.log1p(-alpha)
+        cs = _cumsum_lanes(l, CHUNK)                       # (P, C)
+        w = alpha * jnp.exp(cs - l) * tc                   # (P, C)
+        crgbd = payload_ref[_ROW_RGBD, c0:c0 + CHUNK]      # (4, C)
+        acc_ref[...] += jax.lax.dot_general(
+            w, crgbd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        tc = tc * jnp.exp(cs[:, CHUNK - 1:CHUNK])
+
+    out_ref[:, 0:4] = acc_ref[...]
+    out_ref[:, 4:5] = tc
+    out_ref[:, 5:8] = jnp.zeros((P, 3), f32)
+
+
+def _bwd_kernel(payload_ref, ct_ref, fwd_ref, carry_ref, grad_ref,
+                *, ts, tx, nc, power_min):
+    P = ts * ts
+    f32 = payload_ref.dtype
+    px, py = _pixel_coords(ts, tx, f32)
+
+    ct_rgbd = ct_ref[:, 0:4]                               # (P, 4)
+    ct_tc = ct_ref[:, 4:5]                                 # (P, 1)
+    t_n = fwd_ref[:, 4:5]
+    # Σ_j B_j w_j over ALL entries (suffix-sum anchor) = cotangent-weighted
+    # totals of the forward outputs
+    s_tot = jnp.sum(ct_rgbd * fwd_ref[:, 0:4], axis=1, keepdims=True)
+    trans_term = ct_tc * t_n
+
+    prefix = jnp.zeros((P, 1), f32)
+    for c in range(nc):                                    # static unroll
+        c0 = c * CHUNK
+        tc = carry_ref[:, c:c + 1]                         # (P, 1)
+        alpha, active, expp, dx, dy, ca, cb, cc = _chunk_geometry(
+            payload_ref, c0, px, py, power_min)
+        l = jnp.log1p(-alpha)
+        cs = _cumsum_lanes(l, CHUNK)
+        texcl_tc = jnp.exp(cs - l) * tc                    # w/α (safe at α=0)
+        w = alpha * texcl_tc
+        crgbd = payload_ref[_ROW_RGBD, c0:c0 + CHUNK]      # (4, C)
+
+        b = jax.lax.dot_general(                           # (P, C)
+            ct_rgbd, crgbd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        bw = b * w
+        incl = _cumsum_lanes(bw, CHUNK)
+        suffix = s_tot - (prefix + incl)                   # Σ_{j>k}
+        one_m = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_CLAMP)
+        dalpha = b * texcl_tc - (suffix + trans_term) / one_m
+
+        dop_pc = dalpha * expp * active
+        dpower = dalpha * alpha * active
+        ddx = dpower * (-(ca * dx + cb * dy))
+        ddy = dpower * (-(cc * dy + cb * dx))
+
+        sl = slice(c0, c0 + CHUNK)
+        grad_ref[_ROW_X:_ROW_X + 1, sl] = -jnp.sum(ddx, axis=0, keepdims=True)
+        grad_ref[_ROW_Y:_ROW_Y + 1, sl] = -jnp.sum(ddy, axis=0, keepdims=True)
+        grad_ref[_ROW_CA:_ROW_CA + 1, sl] = jnp.sum(
+            dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
+        grad_ref[_ROW_CB:_ROW_CB + 1, sl] = jnp.sum(
+            dpower * (-dx * dy), axis=0, keepdims=True)
+        grad_ref[_ROW_CC:_ROW_CC + 1, sl] = jnp.sum(
+            dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
+        grad_ref[_ROW_RGBD, sl] = jax.lax.dot_general(     # (4, C)
+            ct_rgbd, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        grad_ref[_ROW_OP:_ROW_OP + 1, sl] = jnp.sum(
+            dop_pc, axis=0, keepdims=True)
+        prefix = prefix + incl[:, CHUNK - 1:CHUNK]
+
+
+def _call_fwd(payload, ts, tx, nc, power_min, interpret):
+    T = payload.shape[0]
+    P = ts * ts
+    K = payload.shape[2]
+    kern = functools.partial(_fwd_kernel, ts=ts, tx=tx, nc=nc,
+                             power_min=power_min)
+    return pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[pl.BlockSpec((None, 10, K), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((None, P, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, nc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, P, 8), payload.dtype),
+            jax.ShapeDtypeStruct((T, P, nc), payload.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((P, 4), payload.dtype)],
+        interpret=interpret,
+    )(payload)
+
+
+def _call_bwd(payload, ct_out, fwd_out, carries, ts, tx, nc, power_min,
+              interpret):
+    T, _, K = payload.shape
+    P = ts * ts
+    kern = functools.partial(_bwd_kernel, ts=ts, tx=tx, nc=nc,
+                             power_min=power_min)
+    return pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((None, 10, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, nc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 10, K), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, 10, K), payload.dtype),
+        interpret=interpret,
+    )(payload, ct_out, fwd_out, carries)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def composite_pallas(payload, ts: int, tx: int,
+                     sigma_cutoff: Optional[float], interpret: bool):
+    """payload (T, 10, K) → out (T, P, 8): [rgb, depth_acc, trans, 0...].
+
+    K must be a multiple of 128; P = ts².  Entries must be depth-sorted per
+    tile with inactive entries carrying opacity 0 (the gather_tile_lists
+    contract).  Payload rows: x, y, conic(a,b,c), r, g, b, depth, opacity.
+    """
+    nc = payload.shape[2] // CHUNK
+    pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
+    out, _ = _call_fwd(payload, ts, tx, nc, pmin, interpret)
+    return out
+
+
+def _composite_fwd(payload, ts, tx, sigma_cutoff, interpret):
+    nc = payload.shape[2] // CHUNK
+    pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
+    out, carries = _call_fwd(payload, ts, tx, nc, pmin, interpret)
+    return out, (payload, out, carries)
+
+
+def _composite_bwd(ts, tx, sigma_cutoff, interpret, res, ct):
+    payload, out, carries = res
+    nc = payload.shape[2] // CHUNK
+    pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
+    grad = _call_bwd(payload, ct, out, carries, ts, tx, nc, pmin, interpret)
+    return (grad,)
+
+
+composite_pallas.defvjp(_composite_fwd, _composite_bwd)

@@ -55,6 +55,8 @@ class RasterConfig(NamedTuple):
     max_tiles_per_gaussian: int = 16  # M: bbox slots per gaussian
     chunk: int = 64                # compositing chunk (scan step)
     sigma_cutoff: Optional[float] = None  # drop contributions beyond nσ
+    fast_gather_vjp: bool = False  # sort-based custom VJP (XLA scatter wins on TPU)
+    backend: str = "xla"           # compositing: "xla" | "pallas" | "pallas_interpret" 
 
 
 class RasterAux(NamedTuple):
@@ -92,9 +94,11 @@ def _bin_gaussians(proj: Projected, config: RasterConfig, tx: int, ty: int):
 
     depth_b = jnp.broadcast_to(proj.depth[:, None], (N, M))
     gidx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, M))
+    slot = jnp.arange(N * M, dtype=jnp.int32)
 
-    sorted_tile, _, sorted_gidx = lax.sort(
-        (tile.reshape(-1), depth_b.reshape(-1), gidx.reshape(-1)), num_keys=2
+    sorted_tile, _, sorted_gidx, sorted_slot = lax.sort(
+        (tile.reshape(-1), depth_b.reshape(-1), gidx.reshape(-1), slot),
+        num_keys=2,
     )
 
     tids = jnp.arange(T, dtype=jnp.int32)
@@ -102,7 +106,7 @@ def _bin_gaussians(proj: Projected, config: RasterConfig, tx: int, ty: int):
     ends = jnp.searchsorted(sorted_tile, tids, side="right")
     counts = (ends - starts).astype(jnp.int32)
     n_slot_truncated = jnp.sum((bw * bh > M) & proj.valid)
-    return sorted_gidx, starts, counts, n_slot_truncated
+    return sorted_tile, sorted_gidx, sorted_slot, starts, counts, n_slot_truncated
 
 
 def _tile_pixel_centers(tx: int, ty: int, ts: int, dtype=jnp.float32):
@@ -211,6 +215,51 @@ def untile_image(a: jnp.ndarray, tx: int, ty: int, ts: int, H: int, W: int):
     return a.reshape((ty * ts, tx * ts) + extra)[:H, :W]
 
 
+@jax.custom_vjp
+def _tile_gather(payload, g, aux):
+    """Gather per-gaussian rows into (T, K, C) per-tile lists.
+
+    The automatic transpose of this gather is a (T·K)-element scatter-add
+    into (N, C) — catastrophically slow on TPU (measured 17× the forward).
+    The custom VJP instead uses the binning byproducts in ``aux`` to invert
+    the mapping: each gaussian reads back the cotangents of its ≤M list
+    positions with *gathers only* (plus one int sort), no scatter.
+    """
+    del aux
+    return payload[g]
+
+
+def _tile_gather_fwd(payload, g, aux):
+    return payload[g], (payload.shape, g.shape, aux)
+
+
+def _tile_gather_bwd(res, ct):
+    (N, C), (T, K), aux = res
+    sorted_tile, sorted_slot, starts, counts = aux
+    NM = sorted_slot.shape[0]
+    M = NM // N
+    s = jnp.arange(NM, dtype=jnp.int32)
+    t = sorted_tile                                       # (NM,) T = sentinel
+    t_safe = jnp.minimum(t, starts.shape[0] - 1)
+    k = s - starts[t_safe]
+    in_list = (t < starts.shape[0]) & (k >= 0) & \
+              (k < jnp.minimum(counts[t_safe], K))
+    flatpos = jnp.where(in_list, t_safe * K + k, T * K)   # T*K = zero pad row
+    # reorder into slot order (slot = n*M + m) with one int sort
+    _, pos_slotorder = lax.sort((sorted_slot, flatpos), num_keys=1)
+    pos = pos_slotorder.reshape(N, M)
+    ct_pad = jnp.concatenate(
+        [ct.reshape(T * K, C), jnp.zeros((1, C), ct.dtype)])
+    grad_payload = jnp.sum(ct_pad[pos], axis=1)           # (N, C): gathers only
+    import numpy as _np
+    zero_int = lambda a: _np.zeros(a.shape, jax.dtypes.float0)
+    return (grad_payload, zero_int(jnp.zeros((T, K), jnp.int32)),
+            jax.tree.map(zero_int, aux))
+
+
+_tile_gather.defvjp(_tile_gather_fwd, _tile_gather_bwd)
+
+
 def gather_tile_lists(
     proj: Projected,
     colors: jnp.ndarray,
@@ -222,19 +271,56 @@ def gather_tile_lists(
     """Bin + fixed-capacity per-tile gather.  Returns ((T, K, ·) lists with
     inactive entries zero-opacity, counts, n_slot_truncated)."""
     K = config.tile_capacity
-    sorted_gidx, starts, counts, n_slot_trunc = _bin_gaussians(
-        proj, config, tx, ty)
+    (sorted_tile, sorted_gidx, sorted_slot, starts, counts,
+     n_slot_trunc) = _bin_gaussians(proj, config, tx, ty)
     k = jnp.arange(K, dtype=jnp.int32)
     sel = jnp.clip(starts[:, None] + k[None, :], 0, sorted_gidx.shape[0] - 1)
     entry_valid = k[None, :] < jnp.minimum(counts, K)[:, None]
     g = sorted_gidx[sel]                                   # (T, K)
 
-    gxy = proj.xy[g]                                       # (T, K, 2)
-    gconic = proj.conic[g]                                 # (T, K, 3)
-    gcol = colors[g]                                       # (T, K, 3)
-    gdepth = proj.depth[g]                                 # (T, K)
-    gop = jnp.where(entry_valid, jnp.clip(opacities, 0.0, 1.0)[g], 0.0)
+    payload = jnp.concatenate([
+        proj.xy,                                           # 0:2
+        proj.conic,                                        # 2:5
+        colors,                                            # 5:8
+        jnp.clip(opacities, 0.0, 1.0)[:, None],            # 8
+        proj.depth[:, None],                               # 9
+    ], axis=1)
+    if config.fast_gather_vjp:
+        aux = (sorted_tile, sorted_slot, starts, counts)
+        lists = _tile_gather(payload, g, aux)              # (T, K, 10)
+    else:
+        lists = payload[g]
+
+    gxy = lists[..., 0:2]
+    gconic = lists[..., 2:5]
+    gcol = lists[..., 5:8]
+    gop = jnp.where(entry_valid, lists[..., 8], 0.0)
+    gdepth = lists[..., 9]
     return (gxy, gconic, gcol, gop, gdepth), counts, n_slot_trunc
+
+
+def composite_dispatch(gxy, gconic, gcol, gop, gdepth, config: RasterConfig,
+                       tx: int):
+    """Composite full-grid tile lists via the configured backend.
+
+    Returns (rgb (T, P, 3), depth_acc (T, P), trans (T, P))."""
+    T, K = gop.shape
+    use_pallas = (
+        config.backend in ("pallas", "pallas_interpret")
+        and K % 128 == 0
+    )
+    if not use_pallas:
+        tile_ids = jnp.arange(T, dtype=jnp.int32)
+        return composite_tiles(gxy, gconic, gcol, gop, gdepth, tile_ids,
+                               config, tx)
+    from sim_a_splat_tpu.ops.pallas_composite import composite_pallas
+    payload = jnp.concatenate(
+        [gxy, gconic, gcol, gdepth[..., None], gop[..., None]], axis=-1)
+    payload_t = jnp.swapaxes(payload, 1, 2)                # (T, 10, K)
+    out = composite_pallas(payload_t, config.tile_size, tx,
+                           config.sigma_cutoff,
+                           config.backend == "pallas_interpret")
+    return out[..., 0:3], out[..., 3], out[..., 4]
 
 
 def render_binned(
@@ -255,9 +341,8 @@ def render_binned(
 
     (gxy, gconic, gcol, gop, gdepth), counts, n_slot_trunc = gather_tile_lists(
         proj, colors, opacities, config, tx, ty)
-    tile_ids = jnp.arange(T, dtype=jnp.int32)
-    rgb, depth_acc, trans = composite_tiles(
-        gxy, gconic, gcol, gop, gdepth, tile_ids, config, tx)
+    rgb, depth_acc, trans = composite_dispatch(
+        gxy, gconic, gcol, gop, gdepth, config, tx)
 
     if background is None:
         background = jnp.zeros(3, dtype=rgb.dtype)
