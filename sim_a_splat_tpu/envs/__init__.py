@@ -11,6 +11,7 @@ from sim_a_splat_tpu.envs.manipulator_gym import (
     ManipulatorEEFWrapper, ManipulatorSimEnv,
 )
 from sim_a_splat_tpu.envs.splat_wrapper import CameraSpec, SplatEnvWrapperF
+from sim_a_splat_tpu.envs.splat_gym import SplatEnvWrapper
 
 __all__ = [
     "keypoints", "render2d", "PushTEnvF", "Transition",

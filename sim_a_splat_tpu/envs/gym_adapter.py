@@ -118,6 +118,38 @@ class PushTEnv(gym.Env):
             np.asarray, self.env_f.observe(self._state, key=self._split(),
                                            action=self.latest_action))
 
+    def _get_info(self):
+        return {k: np.asarray(v)
+                for k, v in self.env_f.info(self._state).items()}
+
+    @property
+    def goal_pose(self):
+        return np.asarray(self.env_f._params().goal_pose)
+
+    def teleop_agent(self):
+        """Mouse-teleop agent (reference pusht_env.py:168-181): act(obs)
+        returns the mouse position while the button is held near the agent,
+        else None.  Requires a pygame display (the demo opens one)."""
+        import collections
+        TeleopAgent = collections.namedtuple("TeleopAgent", ["act"])
+
+        def act(obs):
+            import pygame
+            act = None
+            mouse_position = pygame.mouse.get_pos()
+            agent_pos = np.asarray(obs[:2], np.float64)
+            lmb = pygame.mouse.get_pressed()[0]
+            if lmb and (
+                    self.teleop
+                    or np.linalg.norm(np.asarray(mouse_position) - agent_pos)
+                    < 30):
+                self.teleop = True
+                act = np.asarray(mouse_position, np.float64)
+            return act
+
+        self.teleop = False
+        return TeleopAgent(act)
+
     def _set_state(self, state_vec):
         from sim_a_splat_tpu.physics import pusht as pusht_phys
         self._state = pusht_phys.set_state(

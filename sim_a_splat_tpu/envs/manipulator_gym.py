@@ -58,13 +58,16 @@ class ManipulatorSimEnv(gym.Env):
                 f"URDF has {chain.ndof} dof, expected {num_dof}")
         weld = ((1.0, 0.0, 0.0, 0.0), (0.0, 0.0, 0.0))
         if weld_frame_transform is not None:
-            w = np.asarray(weld_frame_transform)
-            if w.shape == (4, 4):
-                from sim_a_splat_tpu.ops.transforms import SE3
-                se3 = SE3.from_matrix(jnp.asarray(w, jnp.float32))
-                weld = (tuple(np.asarray(se3.q)), tuple(np.asarray(se3.t)))
+            w = weld_frame_transform
+            if (isinstance(w, (tuple, list)) and len(w) == 2
+                    and len(w[0]) == 4):
+                weld = (tuple(float(x) for x in w[0]),
+                        tuple(float(x) for x in w[1]))
             else:
-                weld = (tuple(w[0]), tuple(w[1]))
+                from sim_a_splat_tpu.ops.transforms import SE3
+                se3 = SE3.from_matrix(jnp.asarray(np.asarray(w, np.float64),
+                                                  jnp.float32))
+                weld = (tuple(np.asarray(se3.q)), tuple(np.asarray(se3.t)))
         self.env_f = ManipulatorEnvF(
             chain=chain, eef_link=eef_link_name, env_objects=env_objects,
             weld=weld)

@@ -126,12 +126,12 @@ def test_eef_pushes_block():
     from sim_a_splat_tpu.envs.eef_wrapper import ManipulatorEEFWrapperF
     w = ManipulatorEEFWrapperF(env=f)
     step = jax.jit(f.step)
+    ik = jax.jit(w.eefpose2config)
     b0 = np.asarray(state.block_pos).copy()
     down = jnp.asarray([np.pi, 0.0, 0.0], jnp.float32)  # EEF pointing down
-    moved = False
     for i in range(60):
         x = 0.38 + 0.002 * i
-        res = w.eefpose2config(state, jnp.asarray(
+        res = ik(state, jnp.asarray(
             [x, 0.0, 0.02, *np.asarray(down)], jnp.float32))
         tr = step(state, res.q)
         state = tr.state
