@@ -29,7 +29,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _build_scene, _make_step
+    from __graft_entry__ import _build_scene, _make_step, _make_step_cached
     from sim_a_splat_tpu.ops.rasterize_tiles import RasterConfig
     from sim_a_splat_tpu.physics import pusht
 
@@ -37,34 +37,56 @@ def main():
     N = int(os.environ.get("BENCH_N", "100000"))
     RES = int(os.environ.get("BENCH_RES", "256"))
     ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+    use_cache = os.environ.get("BENCH_CACHE", "1") != "0"
 
     dev = jax.devices()[0]
     log(f"bench: device={dev.platform}/{dev.device_kind} B={B} N={N} "
-        f"res={RES} iters={ITERS}")
+        f"res={RES} iters={ITERS} cache={use_cache}")
 
     n_block = max(N // 20, 100)
     n_agent = max(N // 50, 50)
     graph = _build_scene(n_bg=N - n_block - n_agent, n_block=n_block,
                          n_agent=n_agent, seed=0)
-    backend = os.environ.get("BENCH_BACKEND", "pallas")
-    raster = RasterConfig(tile_size=16, tile_capacity=1024,
+    backend = os.environ.get(
+        "BENCH_BACKEND",
+        "pallas" if dev.platform == "tpu" else "xla")
+    cap = int(os.environ.get("BENCH_TILE_CAP", "1024"))
+    raster = RasterConfig(tile_size=16, tile_capacity=cap,
                           max_tiles_per_gaussian=16, chunk=128,
                           sigma_cutoff=3.0, backend=backend)
-    step, P = _make_step(graph, RES, RES, raster)
 
     keys = jax.random.split(jax.random.key(0), B)
-    states = jax.vmap(lambda k: pusht.reset(P, k))(keys)
     actions = jnp.tile(jnp.asarray([150.0, 250.0], jnp.float32), (B, 1))
 
-    def fwd_bwd(scene, states, actions):
-        def loss_fn(sc):
-            new_states, imgs = jax.vmap(
-                lambda s, a: step(sc, s, a))(states, actions)
-            return jnp.mean(imgs ** 2), new_states
+    if use_cache:
+        # production env path: static background projected + binned once per
+        # train step (shared across the batch), per-env work is dynamic-only
+        prepare, step_c, P = _make_step_cached(graph, RES, RES, raster)
+        states = jax.vmap(lambda k: pusht.reset(P, k))(keys)
 
-        (loss, new_states), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(scene)
-        return new_states, loss, grads
+        def fwd_bwd(scene, states, actions):
+            def loss_fn(sc):
+                cache = prepare(sc)
+                new_states, imgs = jax.vmap(
+                    lambda s, a: step_c(cache, sc, s, a))(states, actions)
+                return jnp.mean(imgs ** 2), new_states
+
+            (loss, new_states), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(scene)
+            return new_states, loss, grads
+    else:
+        step, P = _make_step(graph, RES, RES, raster)
+        states = jax.vmap(lambda k: pusht.reset(P, k))(keys)
+
+        def fwd_bwd(scene, states, actions):
+            def loss_fn(sc):
+                new_states, imgs = jax.vmap(
+                    lambda s, a: step(sc, s, a))(states, actions)
+                return jnp.mean(imgs ** 2), new_states
+
+            (loss, new_states), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(scene)
+            return new_states, loss, grads
 
     jitted = jax.jit(fwd_bwd, donate_argnums=(1,))
 

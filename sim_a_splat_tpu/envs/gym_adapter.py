@@ -157,6 +157,27 @@ class PushTEnv(gym.Env):
             legacy=self.env_f.legacy)
         return self._get_obs()
 
+    def _set_state_local(self, state_local):
+        """Goal-relative state (reference pusht_env.py:312-329): the local
+        block pose composes with the goal pose; the agent position is given
+        in the local block frame."""
+        state_local = np.asarray(state_local, np.float64)
+        agent_local = state_local[:2]
+        block_local = state_local[2:]
+
+        def affine(tx, ty, r):
+            c, s = np.cos(r), np.sin(r)
+            return np.array([[c, -s, tx], [s, c, ty], [0.0, 0.0, 1.0]])
+
+        g = self.goal_pose
+        m = affine(g[0], g[1], g[2]) @ affine(block_local[0], block_local[1],
+                                              block_local[2])
+        agent_new = (m @ np.array([agent_local[0], agent_local[1], 1.0]))[:2]
+        new_state = np.array([*agent_new, m[0, 2], m[1, 2],
+                              np.arctan2(m[1, 0], m[0, 0])])
+        self._set_state(new_state)
+        return new_state
+
     def close(self):
         pass
 

@@ -94,35 +94,47 @@ def _pixel_coords(ts: int, tx: int, dtype):
     return px, py
 
 
-def _fwd_kernel(payload_ref, out_ref, carry_ref, acc_ref,
-                *, ts, tx, nc, power_min):
+def _fwd_kernel(payload_ref, out_ref, carry_ref, acc_ref, tc_ref, alive_ref,
+                *, ts, tx, nc, power_min, term_eps):
     P = ts * ts
     f32 = payload_ref.dtype
     px, py = _pixel_coords(ts, tx, f32)
 
     acc_ref[...] = jnp.zeros((P, 4), f32)
-    tc = jnp.ones((P, 1), f32)
+    tc_ref[...] = jnp.ones((P, 1), f32)
+    alive_ref[0] = jnp.int32(1)
     for c in range(nc):                                    # static unroll
-        carry_ref[:, c:c + 1] = tc
-        c0 = c * CHUNK
-        alpha, _, _, _, _, _, _, _ = _chunk_geometry(
-            payload_ref, c0, px, py, power_min)
-        l = jnp.log1p(-alpha)
-        cs = _cumsum_lanes(l, CHUNK)                       # (P, C)
-        w = alpha * jnp.exp(cs - l) * tc                   # (P, C)
-        crgbd = payload_ref[_ROW_RGBD, c0:c0 + CHUNK]      # (4, C)
-        acc_ref[...] += jax.lax.dot_general(
-            w, crgbd, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        tc = tc * jnp.exp(cs[:, CHUNK - 1:CHUNK])
+        carry_ref[:, c:c + 1] = tc_ref[...]
+
+        # early termination (gsplat's T < eps stop): once every pixel of the
+        # tile is opaque, later chunks contribute < eps — skip them with a
+        # scalar branch (the win on dense scenes: ~10 of ~1000 entries
+        # actually matter per pixel)
+        @pl.when(alive_ref[0] == 1)
+        def _():
+            c0 = c * CHUNK
+            alpha, _, _, _, _, _, _, _ = _chunk_geometry(
+                payload_ref, c0, px, py, power_min)
+            l = jnp.log1p(-alpha)
+            cs = _cumsum_lanes(l, CHUNK)                   # (P, C)
+            tc = tc_ref[...]
+            w = alpha * jnp.exp(cs - l) * tc               # (P, C)
+            crgbd = payload_ref[_ROW_RGBD, c0:c0 + CHUNK]  # (4, C)
+            acc_ref[...] += jax.lax.dot_general(
+                w, crgbd, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            tc_new = tc * jnp.exp(cs[:, CHUNK - 1:CHUNK])
+            tc_ref[...] = tc_new
+            if term_eps is not None:
+                alive_ref[0] = (jnp.max(tc_new) >= term_eps).astype(jnp.int32)
 
     out_ref[:, 0:4] = acc_ref[...]
-    out_ref[:, 4:5] = tc
+    out_ref[:, 4:5] = tc_ref[...]
     out_ref[:, 5:8] = jnp.zeros((P, 3), f32)
 
 
 def _bwd_kernel(payload_ref, ct_ref, fwd_ref, carry_ref, grad_ref,
-                *, ts, tx, nc, power_min):
+                prefix_ref, alive_ref, *, ts, tx, nc, power_min, term_eps):
     P = ts * ts
     f32 = payload_ref.dtype
     px, py = _pixel_coords(ts, tx, f32)
@@ -135,55 +147,70 @@ def _bwd_kernel(payload_ref, ct_ref, fwd_ref, carry_ref, grad_ref,
     s_tot = jnp.sum(ct_rgbd * fwd_ref[:, 0:4], axis=1, keepdims=True)
     trans_term = ct_tc * t_n
 
-    prefix = jnp.zeros((P, 1), f32)
+    grad_ref[...] = jnp.zeros_like(grad_ref)
+    prefix_ref[...] = jnp.zeros((P, 1), f32)
+    alive_ref[0] = jnp.int32(1)
     for c in range(nc):                                    # static unroll
-        c0 = c * CHUNK
-        tc = carry_ref[:, c:c + 1]                         # (P, 1)
-        alpha, active, expp, dx, dy, ca, cb, cc = _chunk_geometry(
-            payload_ref, c0, px, py, power_min)
-        l = jnp.log1p(-alpha)
-        cs = _cumsum_lanes(l, CHUNK)
-        texcl_tc = jnp.exp(cs - l) * tc                    # w/α (safe at α=0)
-        w = alpha * texcl_tc
-        crgbd = payload_ref[_ROW_RGBD, c0:c0 + CHUNK]      # (4, C)
+        # chunks the terminated forward never applied have zero gradient
+        # (grad_ref pre-zeroed); replicate the forward's alive predicate
+        # from the stored chunk-start transmittances
+        if term_eps is not None and c > 0:
+            alive_ref[0] = jnp.minimum(
+                alive_ref[0],
+                (jnp.max(carry_ref[:, c:c + 1]) >= term_eps).astype(jnp.int32))
 
-        b = jax.lax.dot_general(                           # (P, C)
-            ct_rgbd, crgbd, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        bw = b * w
-        incl = _cumsum_lanes(bw, CHUNK)
-        suffix = s_tot - (prefix + incl)                   # Σ_{j>k}
-        one_m = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_CLAMP)
-        dalpha = b * texcl_tc - (suffix + trans_term) / one_m
+        @pl.when(alive_ref[0] == 1)
+        def _():
+            c0 = c * CHUNK
+            tc = carry_ref[:, c:c + 1]                     # (P, 1)
+            alpha, active, expp, dx, dy, ca, cb, cc = _chunk_geometry(
+                payload_ref, c0, px, py, power_min)
+            l = jnp.log1p(-alpha)
+            cs = _cumsum_lanes(l, CHUNK)
+            texcl_tc = jnp.exp(cs - l) * tc                # w/α (safe at α=0)
+            w = alpha * texcl_tc
+            crgbd = payload_ref[_ROW_RGBD, c0:c0 + CHUNK]  # (4, C)
 
-        dop_pc = dalpha * expp * active
-        dpower = dalpha * alpha * active
-        ddx = dpower * (-(ca * dx + cb * dy))
-        ddy = dpower * (-(cc * dy + cb * dx))
+            b = jax.lax.dot_general(                       # (P, C)
+                ct_rgbd, crgbd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            bw = b * w
+            incl = _cumsum_lanes(bw, CHUNK)
+            prefix = prefix_ref[...]
+            suffix = s_tot - (prefix + incl)               # Σ_{j>k}
+            one_m = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_CLAMP)
+            dalpha = b * texcl_tc - (suffix + trans_term) / one_m
 
-        sl = slice(c0, c0 + CHUNK)
-        grad_ref[_ROW_X:_ROW_X + 1, sl] = -jnp.sum(ddx, axis=0, keepdims=True)
-        grad_ref[_ROW_Y:_ROW_Y + 1, sl] = -jnp.sum(ddy, axis=0, keepdims=True)
-        grad_ref[_ROW_CA:_ROW_CA + 1, sl] = jnp.sum(
-            dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
-        grad_ref[_ROW_CB:_ROW_CB + 1, sl] = jnp.sum(
-            dpower * (-dx * dy), axis=0, keepdims=True)
-        grad_ref[_ROW_CC:_ROW_CC + 1, sl] = jnp.sum(
-            dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
-        grad_ref[_ROW_RGBD, sl] = jax.lax.dot_general(     # (4, C)
-            ct_rgbd, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        grad_ref[_ROW_OP:_ROW_OP + 1, sl] = jnp.sum(
-            dop_pc, axis=0, keepdims=True)
-        prefix = prefix + incl[:, CHUNK - 1:CHUNK]
+            dop_pc = dalpha * expp * active
+            dpower = dalpha * alpha * active
+            ddx = dpower * (-(ca * dx + cb * dy))
+            ddy = dpower * (-(cc * dy + cb * dx))
+
+            sl = slice(c0, c0 + CHUNK)
+            grad_ref[_ROW_X:_ROW_X + 1, sl] = -jnp.sum(
+                ddx, axis=0, keepdims=True)
+            grad_ref[_ROW_Y:_ROW_Y + 1, sl] = -jnp.sum(
+                ddy, axis=0, keepdims=True)
+            grad_ref[_ROW_CA:_ROW_CA + 1, sl] = jnp.sum(
+                dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
+            grad_ref[_ROW_CB:_ROW_CB + 1, sl] = jnp.sum(
+                dpower * (-dx * dy), axis=0, keepdims=True)
+            grad_ref[_ROW_CC:_ROW_CC + 1, sl] = jnp.sum(
+                dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
+            grad_ref[_ROW_RGBD, sl] = jax.lax.dot_general(  # (4, C)
+                ct_rgbd, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            grad_ref[_ROW_OP:_ROW_OP + 1, sl] = jnp.sum(
+                dop_pc, axis=0, keepdims=True)
+            prefix_ref[...] = prefix + incl[:, CHUNK - 1:CHUNK]
 
 
-def _call_fwd(payload, ts, tx, nc, power_min, interpret):
+def _call_fwd(payload, ts, tx, nc, power_min, interpret, term_eps):
     T = payload.shape[0]
     P = ts * ts
     K = payload.shape[2]
     kern = functools.partial(_fwd_kernel, ts=ts, tx=tx, nc=nc,
-                             power_min=power_min)
+                             power_min=power_min, term_eps=term_eps)
     return pl.pallas_call(
         kern,
         grid=(T,),
@@ -199,17 +226,21 @@ def _call_fwd(payload, ts, tx, nc, power_min, interpret):
             jax.ShapeDtypeStruct((T, P, 8), payload.dtype),
             jax.ShapeDtypeStruct((T, P, nc), payload.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((P, 4), payload.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((P, 4), payload.dtype),
+            pltpu.VMEM((P, 1), payload.dtype),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
         interpret=interpret,
     )(payload)
 
 
 def _call_bwd(payload, ct_out, fwd_out, carries, ts, tx, nc, power_min,
-              interpret):
+              interpret, term_eps):
     T, _, K = payload.shape
     P = ts * ts
     kern = functools.partial(_bwd_kernel, ts=ts, tx=tx, nc=nc,
-                             power_min=power_min)
+                             power_min=power_min, term_eps=term_eps)
     return pl.pallas_call(
         kern,
         grid=(T,),
@@ -226,37 +257,45 @@ def _call_bwd(payload, ct_out, fwd_out, carries, ts, tx, nc, power_min,
         out_specs=pl.BlockSpec((None, 10, K), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, 10, K), payload.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), payload.dtype),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
         interpret=interpret,
     )(payload, ct_out, fwd_out, carries)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
 def composite_pallas(payload, ts: int, tx: int,
-                     sigma_cutoff: Optional[float], interpret: bool):
+                     sigma_cutoff: Optional[float], interpret: bool,
+                     term_eps: Optional[float] = None):
     """payload (T, 10, K) → out (T, P, 8): [rgb, depth_acc, trans, 0...].
 
     K must be a multiple of 128; P = ts².  Entries must be depth-sorted per
     tile with inactive entries carrying opacity 0 (the gather_tile_lists
     contract).  Payload rows: x, y, conic(a,b,c), r, g, b, depth, opacity.
+    ``term_eps`` enables per-tile early termination once every pixel's
+    transmittance is below it (gsplat semantics; error bound = term_eps).
     """
     nc = payload.shape[2] // CHUNK
     pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
-    out, _ = _call_fwd(payload, ts, tx, nc, pmin, interpret)
+    out, _ = _call_fwd(payload, ts, tx, nc, pmin, interpret, term_eps)
     return out
 
 
-def _composite_fwd(payload, ts, tx, sigma_cutoff, interpret):
+def _composite_fwd(payload, ts, tx, sigma_cutoff, interpret, term_eps):
     nc = payload.shape[2] // CHUNK
     pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
-    out, carries = _call_fwd(payload, ts, tx, nc, pmin, interpret)
+    out, carries = _call_fwd(payload, ts, tx, nc, pmin, interpret, term_eps)
     return out, (payload, out, carries)
 
 
-def _composite_bwd(ts, tx, sigma_cutoff, interpret, res, ct):
+def _composite_bwd(ts, tx, sigma_cutoff, interpret, term_eps, res, ct):
     payload, out, carries = res
     nc = payload.shape[2] // CHUNK
     pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
-    grad = _call_bwd(payload, ct, out, carries, ts, tx, nc, pmin, interpret)
+    grad = _call_bwd(payload, ct, out, carries, ts, tx, nc, pmin, interpret,
+                     term_eps)
     return (grad,)
 
 

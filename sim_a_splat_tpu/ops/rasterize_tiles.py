@@ -56,7 +56,8 @@ class RasterConfig(NamedTuple):
     chunk: int = 64                # compositing chunk (scan step)
     sigma_cutoff: Optional[float] = None  # drop contributions beyond nσ
     fast_gather_vjp: bool = False  # sort-based custom VJP (XLA scatter wins on TPU)
-    backend: str = "xla"           # compositing: "xla" | "pallas" | "pallas_interpret" 
+    backend: str = "xla"           # compositing: "xla" | "pallas" | "pallas_interpret"
+    term_eps: Optional[float] = None  # pallas early-stop transmittance (gsplat: 1e-4)
 
 
 class RasterAux(NamedTuple):
@@ -319,7 +320,8 @@ def composite_dispatch(gxy, gconic, gcol, gop, gdepth, config: RasterConfig,
     payload_t = jnp.swapaxes(payload, 1, 2)                # (T, 10, K)
     out = composite_pallas(payload_t, config.tile_size, tx,
                            config.sigma_cutoff,
-                           config.backend == "pallas_interpret")
+                           config.backend == "pallas_interpret",
+                           config.term_eps)
     return out[..., 0:3], out[..., 3], out[..., 4]
 
 

@@ -111,3 +111,23 @@ def test_functional_vmap_batch():
     tr = jax.jit(jax.vmap(lambda s, a: env_f.step(s, a)))(states, acts)
     assert tr.obs.shape == (8, 5)
     assert tr.reward.shape == (8,)
+
+
+def test_set_state_local_goal_relative():
+    """_set_state_local composes the local block pose with the goal pose
+    (reference pusht_env.py:312-329): zero local pose ⇒ block exactly at
+    goal ⇒ coverage reward 1."""
+    env = PushTEnv(seed=0)
+    env.reset()
+    new_state = env._set_state_local([0.0, 0.0, 0.0, 0.0, 0.0])
+    np.testing.assert_allclose(new_state[2:], env.goal_pose, atol=1e-6)
+    _, reward, done, _ = env.step(new_state[:2])
+    assert reward > 0.9
+
+    # non-zero local pose: block offset rotates with the goal frame
+    s = env._set_state_local([10.0, 0.0, 5.0, 0.0, 0.1])
+    g = env.goal_pose
+    c, si = np.cos(g[2]), np.sin(g[2])
+    np.testing.assert_allclose(s[2:4], g[:2] + np.array([5 * c, 5 * si]),
+                               atol=1e-6)
+    np.testing.assert_allclose(s[4], g[2] + 0.1, atol=1e-6)
