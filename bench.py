@@ -51,9 +51,11 @@ def main():
         "BENCH_BACKEND",
         "pallas" if dev.platform == "tpu" else "xla")
     cap = int(os.environ.get("BENCH_TILE_CAP", "1024"))
+    term = float(os.environ.get("BENCH_TERM", "1e-4"))  # gsplat's stop eps
     raster = RasterConfig(tile_size=16, tile_capacity=cap,
                           max_tiles_per_gaussian=16, chunk=128,
-                          sigma_cutoff=3.0, backend=backend)
+                          sigma_cutoff=3.0, backend=backend,
+                          term_eps=term if term > 0 else None)
 
     keys = jax.random.split(jax.random.key(0), B)
     actions = jnp.tile(jnp.asarray([150.0, 250.0], jnp.float32), (B, 1))

@@ -1,9 +1,11 @@
 """Per-link splat mask extraction: point-vs-mesh distance and occupancy.
 
 Replaces Open3D's RaycastingScene occupancy/distance queries
-(match_splat.py:240-251, native component N9) with vectorized numpy:
-exact point-to-triangle distance and ray-parity occupancy, chunked over
-points so memory stays bounded.  Offline-only — precision over speed.
+(match_splat.py:240-251, native component N9).  The hot path is the
+native C++ triangle BVH (sim_a_splat_tpu.native: exact point-to-triangle
+distance, +z ray-parity occupancy); the vectorized-numpy implementations
+below are both the fallback where no compiler exists and the golden model
+the native code is tested against.  Offline-only — precision over speed.
 """
 
 from __future__ import annotations
@@ -200,9 +202,18 @@ def link_mask(points: np.ndarray, mesh: TriMesh,
               distance_threshold: float = 0.015,
               exact_below_faces: int = 2000) -> np.ndarray:
     """occupancy | (distance < thr) — the reference's per-link criterion
-    (match_splat.py:240-251).  Small meshes take the exact O(P·T) path;
-    large CAD/scan meshes use the KD-tree signed-distance fast path
+    (match_splat.py:240-251).
+
+    The native C++ BVH computes both queries exactly at any mesh size.
+    Fallback without a compiler: small meshes take the exact O(P·T) numpy
+    path; large CAD/scan meshes use the KD-tree signed-distance fast path
     (inside ⇔ signed distance < 0)."""
+    from sim_a_splat_tpu import native
+
+    if native.available():
+        bvh = native.TriBVH(mesh.vertices, mesh.faces)
+        d, _ = bvh.distance(points)
+        return bvh.occupancy(points) | (d < distance_threshold)
     if mesh.num_faces <= exact_below_faces:
         return occupancy(points, mesh) | (
             distance_to_mesh(points, mesh) < distance_threshold)

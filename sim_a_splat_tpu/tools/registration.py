@@ -1,10 +1,12 @@
 """Similarity registration: Umeyama + scaled ICP (host-side).
 
 Replaces Open3D's ``registration_icp(..., with_scaling=True)``
-(match_splat.py:206-227, native component N8).  Correspondences come from a
-scipy cKDTree; the per-iteration similarity fit is the closed-form Umeyama
-alignment.  Output is the same 4×4 similarity matrix artifact
-(``icp_transformation.npy``) the runtime factors with ``Sim3.from_matrix``.
+(match_splat.py:206-227, native component N8).  Correspondences come from
+the native C++ KD-tree (sim_a_splat_tpu.native, compiled on first use)
+with a scipy cKDTree fallback; the per-iteration similarity fit is the
+closed-form Umeyama alignment.  Output is the same 4×4 similarity matrix
+artifact (``icp_transformation.npy``) the runtime factors with
+``Sim3.from_matrix``.
 """
 
 from __future__ import annotations
@@ -12,7 +14,21 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
-from scipy.spatial import cKDTree
+
+
+def _nn_index(points: np.ndarray):
+    """Nearest-neighbour index with a ``query(q) → (dist, idx)`` method:
+    the native C++ KD-tree when buildable, else scipy."""
+    from sim_a_splat_tpu import native
+
+    if native.available():
+        return native.KDTree(points)
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(points)
+    return type("_SciPyNN", (), {
+        "query": staticmethod(lambda q: tree.query(q, k=1)),
+    })()
 
 
 def umeyama(src: np.ndarray, dst: np.ndarray,
@@ -68,13 +84,13 @@ def icp(
     src = np.asarray(source, np.float64)
     tgt = np.asarray(target, np.float64)
     T = np.eye(4) if init is None else np.asarray(init, np.float64).copy()
-    tree = cKDTree(tgt)
+    tree = _nn_index(tgt)
     prev_rmse = np.inf
     it = 0
     rmse, fitness = np.inf, 0.0
     for it in range(1, max_iterations + 1):
         cur = src @ T[:3, :3].T + T[:3, 3]
-        dist, idx = tree.query(cur, k=1)
+        dist, idx = tree.query(cur)
         inlier = dist < max_correspondence_distance
         if inlier.sum() < 3:
             break
