@@ -38,10 +38,11 @@ def main():
     RES = int(os.environ.get("BENCH_RES", "256"))
     ITERS = int(os.environ.get("BENCH_ITERS", "10"))
     use_cache = os.environ.get("BENCH_CACHE", "1") != "0"
+    fwd_only = os.environ.get("BENCH_FWDONLY", "0") != "0"
 
     dev = jax.devices()[0]
     log(f"bench: device={dev.platform}/{dev.device_kind} B={B} N={N} "
-        f"res={RES} iters={ITERS} cache={use_cache}")
+        f"res={RES} iters={ITERS} cache={use_cache} fwd_only={fwd_only}")
 
     n_block = max(N // 20, 100)
     n_agent = max(N // 50, 50)
@@ -52,9 +53,11 @@ def main():
         "pallas" if dev.platform == "tpu" else "xla")
     cap = int(os.environ.get("BENCH_TILE_CAP", "1024"))
     term = float(os.environ.get("BENCH_TERM", "1e-4"))  # gsplat's stop eps
+    fastvjp = os.environ.get("BENCH_FASTVJP", "0") != "0"
     raster = RasterConfig(tile_size=16, tile_capacity=cap,
                           max_tiles_per_gaussian=16, chunk=128,
                           sigma_cutoff=3.0, backend=backend,
+                          fast_gather_vjp=fastvjp,
                           term_eps=term if term > 0 else None)
 
     keys = jax.random.split(jax.random.key(0), B)
@@ -64,30 +67,30 @@ def main():
         # production env path: static background projected + binned once per
         # train step (shared across the batch), per-env work is dynamic-only
         prepare, step_c, P = _make_step_cached(graph, RES, RES, raster)
-        states = jax.vmap(lambda k: pusht.reset(P, k))(keys)
 
-        def fwd_bwd(scene, states, actions):
-            def loss_fn(sc):
-                cache = prepare(sc)
-                new_states, imgs = jax.vmap(
-                    lambda s, a: step_c(cache, sc, s, a))(states, actions)
-                return jnp.mean(imgs ** 2), new_states
-
-            (loss, new_states), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(scene)
-            return new_states, loss, grads
+        def loss_of(scene, states, actions):
+            cache = prepare(scene)
+            new_states, imgs = jax.vmap(
+                lambda s, a: step_c(cache, scene, s, a))(states, actions)
+            return jnp.mean(imgs ** 2), new_states
     else:
         step, P = _make_step(graph, RES, RES, raster)
-        states = jax.vmap(lambda k: pusht.reset(P, k))(keys)
 
+        def loss_of(scene, states, actions):
+            new_states, imgs = jax.vmap(
+                lambda s, a: step(scene, s, a))(states, actions)
+            return jnp.mean(imgs ** 2), new_states
+
+    states = jax.vmap(lambda k: pusht.reset(P, k))(keys)
+
+    if fwd_only:
         def fwd_bwd(scene, states, actions):
-            def loss_fn(sc):
-                new_states, imgs = jax.vmap(
-                    lambda s, a: step(sc, s, a))(states, actions)
-                return jnp.mean(imgs ** 2), new_states
-
+            loss, new_states = loss_of(scene, states, actions)
+            return new_states, loss, None
+    else:
+        def fwd_bwd(scene, states, actions):
             (loss, new_states), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(scene)
+                lambda sc: loss_of(sc, states, actions), has_aux=True)(scene)
             return new_states, loss, grads
 
     jitted = jax.jit(fwd_bwd, donate_argnums=(1,))

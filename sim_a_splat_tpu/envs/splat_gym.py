@@ -228,5 +228,16 @@ class SplatEnvWrapper(gym.Wrapper):
             self.draw_msg = self.unwrapped._generate_draw_msg()
         return [np.asarray(img) for img in self._jit_render(self.draw_msg)]
 
+    def render_free_camera(self, camera) -> np.ndarray:
+        """Render the current scene state from an arbitrary
+        :class:`~sim_a_splat_tpu.ops.projection.Camera` (world frame) —
+        the interactive-viewer path (reference: browser orbit camera)."""
+        if self.wrapper_f is None:
+            raise RuntimeError(
+                "cameras not configured — call _configure_cameras first")
+        if not hasattr(self, "draw_msg"):
+            self.draw_msg = self.unwrapped._generate_draw_msg()
+        return np.asarray(self.wrapper_f.render_camera(self.draw_msg, camera))
+
     def close(self):
         self.env.close()

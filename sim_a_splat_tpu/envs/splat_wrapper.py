@@ -213,6 +213,18 @@ class SplatEnvWrapperF:
             imgs.append(img)
         return imgs
 
+    def render_camera(self, draw: DrawState, camera: Camera) -> jnp.ndarray:
+        """Render the posed scene from an arbitrary camera — the
+        free-viewpoint path the reference delegates to the browser client
+        (splat_handler.py:334-346).  Returns (H, W, 3) float."""
+        posed = self.graph.posed(self._body_poses(draw))
+        img, _ = rasterize_sh(posed.means, posed.covs(), posed.sh_coeffs(),
+                              posed.opacities(), camera, posed.sh_degree,
+                              self.raster,
+                              background=jnp.asarray(self.background,
+                                                     jnp.float32))
+        return img
+
     def observe(self, env_state, inner_obs: dict) -> dict:
         """Inner obs + ``camera_{i}`` CHW images (splat_env_wrapper.py:
         132-138)."""

@@ -24,7 +24,8 @@ from pathlib import Path
 
 import numpy as np
 
-_SRC = Path(__file__).with_name("geometry.cpp")
+_SRCS = [Path(__file__).with_name("geometry.cpp"),
+         Path(__file__).with_name("recorder.cpp")]
 _LIB = None
 _TRIED = False
 
@@ -39,15 +40,16 @@ def _cache_dir() -> Path:
 
 
 def _build() -> Path | None:
-    src = _SRC.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
-    out = _cache_dir() / f"_geom_{tag}.so"
+    h = hashlib.sha256()
+    for s in _SRCS:
+        h.update(s.read_bytes())
+    out = _cache_dir() / f"_native_{h.hexdigest()[:16]}.so"
     if out.exists():
         return out
     with tempfile.TemporaryDirectory() as td:
-        tmp = Path(td) / "geom.so"
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-               str(_SRC), "-o", str(tmp)]
+        tmp = Path(td) / "native.so"
+        cmd = (["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread"]
+               + [str(s) for s in _SRCS] + ["-lz", "-o", str(tmp)])
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         except (OSError, subprocess.SubprocessError):
@@ -84,6 +86,11 @@ def _load():
     lib.sas_bvh_occupancy.argtypes = [ctypes.c_void_p, c_d, ctypes.c_int64,
                                       c_u8]
     lib.sas_bvh_free.argtypes = [ctypes.c_void_p]
+    lib.sas_npz_write.restype = ctypes.c_int64
+    lib.sas_npz_write.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+        c_i, c_i, ctypes.POINTER(ctypes.c_void_p), c_i, ctypes.c_int32]
     _LIB = lib
     return lib
 
@@ -178,4 +185,41 @@ class TriBVH:
             self._h = None
 
 
-__all__ = ["available", "KDTree", "TriBVH"]
+def npz_write(path: str | os.PathLike, arrays: dict, level: int = 6) -> None:
+    """Write ``arrays`` (str → ndarray) as a standard ``.npz`` readable by
+    ``np.load``, with members deflate-compressed in parallel C++ threads.
+
+    The datagen-rate shard writer behind utils.episodes.EpisodeRecorder
+    (the zarr role the reference pins but never implements).  Raises
+    RuntimeError if the native library is unavailable and OSError on zip32
+    overflow (callers fall back to ``np.savez_compressed``).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native geometry library unavailable")
+    def _contig(v):
+        a = np.asarray(v)
+        # ascontiguousarray would promote 0-d to (1,); 0-d is already contiguous
+        return a if a.ndim == 0 else np.ascontiguousarray(a)
+
+    items = [(str(k), _contig(v)) for k, v in arrays.items()]
+    n = len(items)
+    names = (ctypes.c_char_p * n)(*[k.encode() for k, _ in items])
+    descrs = (ctypes.c_char_p * n)(
+        *[np.lib.format.dtype_to_descr(a.dtype).encode() for _, a in items])
+    ndims = np.asarray([a.ndim for _, a in items], np.int64)
+    shapes = np.asarray(
+        [d for _, a in items for d in a.shape] or [0], np.int64)
+    data = (ctypes.c_void_p * n)(*[a.ctypes.data for _, a in items])
+    nbytes = np.asarray([a.nbytes for _, a in items], np.int64)
+    rc = lib.sas_npz_write(
+        str(path).encode(), n, names, descrs,
+        ndims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        shapes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        data, nbytes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(level))
+    if rc != 0:
+        raise OSError(f"sas_npz_write failed with code {rc}")
+
+
+__all__ = ["available", "KDTree", "TriBVH", "npz_write"]

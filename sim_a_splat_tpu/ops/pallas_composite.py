@@ -94,23 +94,24 @@ def _pixel_coords(ts: int, tx: int, dtype):
     return px, py
 
 
-def _fwd_kernel(payload_ref, out_ref, carry_ref, acc_ref, tc_ref, alive_ref,
-                *, ts, tx, nc, power_min, term_eps):
+def _fwd_kernel(count_ref, payload_ref, out_ref, carry_ref, acc_ref, tc_ref,
+                alive_ref, *, ts, tx, nc, power_min, term_eps):
     P = ts * ts
     f32 = payload_ref.dtype
     px, py = _pixel_coords(ts, tx, f32)
 
+    count = jnp.max(count_ref[...])      # (1, 128) replicated lanes → scalar
     acc_ref[...] = jnp.zeros((P, 4), f32)
     tc_ref[...] = jnp.ones((P, 1), f32)
     alive_ref[0] = jnp.int32(1)
     for c in range(nc):                                    # static unroll
         carry_ref[:, c:c + 1] = tc_ref[...]
 
-        # early termination (gsplat's T < eps stop): once every pixel of the
-        # tile is opaque, later chunks contribute < eps — skip them with a
-        # scalar branch (the win on dense scenes: ~10 of ~1000 entries
-        # actually matter per pixel)
-        @pl.when(alive_ref[0] == 1)
+        # two scalar skip conditions per chunk: (a) early termination
+        # (gsplat's T < eps stop) once every pixel of the tile is opaque,
+        # (b) count cutoff — entries are actives-first per tile, so chunks
+        # past the tile's active count are all zero-opacity padding
+        @pl.when((alive_ref[0] == 1) & (c * CHUNK < count))
         def _():
             c0 = c * CHUNK
             alpha, _, _, _, _, _, _, _ = _chunk_geometry(
@@ -133,11 +134,12 @@ def _fwd_kernel(payload_ref, out_ref, carry_ref, acc_ref, tc_ref, alive_ref,
     out_ref[:, 5:8] = jnp.zeros((P, 3), f32)
 
 
-def _bwd_kernel(payload_ref, ct_ref, fwd_ref, carry_ref, grad_ref,
+def _bwd_kernel(count_ref, payload_ref, ct_ref, fwd_ref, carry_ref, grad_ref,
                 prefix_ref, alive_ref, *, ts, tx, nc, power_min, term_eps):
     P = ts * ts
     f32 = payload_ref.dtype
     px, py = _pixel_coords(ts, tx, f32)
+    count = jnp.max(count_ref[...])      # (1, 128) replicated lanes → scalar
 
     ct_rgbd = ct_ref[:, 0:4]                               # (P, 4)
     ct_tc = ct_ref[:, 4:5]                                 # (P, 1)
@@ -159,7 +161,7 @@ def _bwd_kernel(payload_ref, ct_ref, fwd_ref, carry_ref, grad_ref,
                 alive_ref[0],
                 (jnp.max(carry_ref[:, c:c + 1]) >= term_eps).astype(jnp.int32))
 
-        @pl.when(alive_ref[0] == 1)
+        @pl.when((alive_ref[0] == 1) & (c * CHUNK < count))
         def _():
             c0 = c * CHUNK
             tc = carry_ref[:, c:c + 1]                     # (P, 1)
@@ -205,16 +207,21 @@ def _bwd_kernel(payload_ref, ct_ref, fwd_ref, carry_ref, grad_ref,
             prefix_ref[...] = prefix + incl[:, CHUNK - 1:CHUNK]
 
 
-def _call_fwd(payload, ts, tx, nc, power_min, interpret, term_eps):
+def _call_fwd(payload, counts, ts, tx, nc, power_min, interpret, term_eps):
     T = payload.shape[0]
     P = ts * ts
     K = payload.shape[2]
+    # lane-replicated (T, 1, 128) — Mosaic has no scalar SMEM blocks, so the
+    # per-tile count rides VMEM lanes and is reduced to an SREG in-kernel
+    counts = jnp.broadcast_to(counts[:, None, None], (T, 1, 128))
     kern = functools.partial(_fwd_kernel, ts=ts, tx=tx, nc=nc,
                              power_min=power_min, term_eps=term_eps)
     return pl.pallas_call(
         kern,
         grid=(T,),
-        in_specs=[pl.BlockSpec((None, 10, K), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((None, 10, K), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[
             pl.BlockSpec((None, P, 8), lambda i: (i, 0, 0),
@@ -232,19 +239,22 @@ def _call_fwd(payload, ts, tx, nc, power_min, interpret, term_eps):
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
-    )(payload)
+    )(counts, payload)
 
 
-def _call_bwd(payload, ct_out, fwd_out, carries, ts, tx, nc, power_min,
-              interpret, term_eps):
+def _call_bwd(payload, counts, ct_out, fwd_out, carries, ts, tx, nc,
+              power_min, interpret, term_eps):
     T, _, K = payload.shape
     P = ts * ts
+    counts = jnp.broadcast_to(counts[:, None, None], (T, 1, 128))
     kern = functools.partial(_bwd_kernel, ts=ts, tx=tx, nc=nc,
                              power_min=power_min, term_eps=term_eps)
     return pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=[
+            pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 10, K), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, P, 8), lambda i: (i, 0, 0),
@@ -262,41 +272,47 @@ def _call_bwd(payload, ct_out, fwd_out, carries, ts, tx, nc, power_min,
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
-    )(payload, ct_out, fwd_out, carries)
+    )(counts, payload, ct_out, fwd_out, carries)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
-def composite_pallas(payload, ts: int, tx: int,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def composite_pallas(payload, counts, ts: int, tx: int,
                      sigma_cutoff: Optional[float], interpret: bool,
                      term_eps: Optional[float] = None):
     """payload (T, 10, K) → out (T, P, 8): [rgb, depth_acc, trans, 0...].
 
     K must be a multiple of 128; P = ts².  Entries must be depth-sorted per
-    tile with inactive entries carrying opacity 0 (the gather_tile_lists
-    contract).  Payload rows: x, y, conic(a,b,c), r, g, b, depth, opacity.
-    ``term_eps`` enables per-tile early termination once every pixel's
-    transmittance is below it (gsplat semantics; error bound = term_eps).
+    tile, actives first, with inactive entries carrying opacity 0 (the
+    gather_tile_lists contract); ``counts`` (T,) int32 active entries per
+    tile — chunks past the count are skipped entirely.  Payload rows:
+    x, y, conic(a,b,c), r, g, b, depth, opacity.  ``term_eps`` enables
+    per-tile early termination once every pixel's transmittance is below it
+    (gsplat semantics; error bound = term_eps).
     """
     nc = payload.shape[2] // CHUNK
     pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
-    out, _ = _call_fwd(payload, ts, tx, nc, pmin, interpret, term_eps)
+    out, _ = _call_fwd(payload, counts, ts, tx, nc, pmin, interpret, term_eps)
     return out
 
 
-def _composite_fwd(payload, ts, tx, sigma_cutoff, interpret, term_eps):
+def _composite_fwd(payload, counts, ts, tx, sigma_cutoff, interpret,
+                   term_eps):
     nc = payload.shape[2] // CHUNK
     pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
-    out, carries = _call_fwd(payload, ts, tx, nc, pmin, interpret, term_eps)
-    return out, (payload, out, carries)
+    out, carries = _call_fwd(payload, counts, ts, tx, nc, pmin, interpret,
+                             term_eps)
+    return out, (payload, counts, out, carries)
 
 
 def _composite_bwd(ts, tx, sigma_cutoff, interpret, term_eps, res, ct):
-    payload, out, carries = res
+    import numpy as _np
+
+    payload, counts, out, carries = res
     nc = payload.shape[2] // CHUNK
     pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
-    grad = _call_bwd(payload, ct, out, carries, ts, tx, nc, pmin, interpret,
-                     term_eps)
-    return (grad,)
+    grad = _call_bwd(payload, counts, ct, out, carries, ts, tx, nc, pmin,
+                     interpret, term_eps)
+    return (grad, _np.zeros(counts.shape, jax.dtypes.float0))
 
 
 composite_pallas.defvjp(_composite_fwd, _composite_bwd)

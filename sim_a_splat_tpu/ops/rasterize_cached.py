@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -76,29 +77,64 @@ def build_tile_cache_sh(means, covs, sh_coeffs, opacities, camera, config,
     return build_tile_cache(means, covs, colors, opacities, camera, config)
 
 
+@jax.custom_vjp
+def _sort_rows(key, payload):
+    """Per-row sort of ``payload`` (T, K, C) columns by ``key`` (T, K).
+
+    Forward: one fused multi-operand ``lax.sort`` (the fast path on TPU).
+    Backward: the sort applies a permutation, so the exact VJP is a gather
+    of the cotangents by the *inverse* permutation (one int sort + one
+    gather) — never the scatter XLA emits when differentiating sort, which
+    is the backward-pass bottleneck on TPU (same motivation as
+    _tile_gather in rasterize_tiles.py)."""
+    out, _ = _sort_rows_fwd(key, payload)
+    return out
+
+
+def _sort_rows_fwd(key, payload):
+    K = key.shape[1]
+    iota = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), key.shape)
+    cols = tuple(payload[..., i] for i in range(payload.shape[-1]))
+    sorted_ = lax.sort((lax.stop_gradient(key), iota) + cols,
+                       dimension=1, num_keys=1)
+    return jnp.stack(sorted_[2:], axis=-1), sorted_[1]     # (out, perm)
+
+
+def _sort_rows_bwd(perm, ct):
+    import numpy as _np
+
+    K = perm.shape[1]
+    iota = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), perm.shape)
+    _, inv = lax.sort((perm, iota), dimension=1, num_keys=1)
+    grad = jnp.take_along_axis(ct, inv[..., None], axis=1)
+    return jnp.zeros(perm.shape, ct.dtype), grad
+
+
+_sort_rows.defvjp(_sort_rows_fwd, _sort_rows_bwd)
+
+
 def merge_sorted_lists(static: TileCache, dyn: TileCache) -> TileCache:
-    """Merge two depth-sorted per-tile list sets into one (single sort per
-    tile over the concatenated capacity; inactive entries sink to the end
-    via +inf keys)."""
+    """Merge two depth-sorted per-tile list sets into one (single fused
+    sort per tile over the concatenated capacity; inactive entries sink to
+    the end via +inf keys; scatter-free backward via :func:`_sort_rows`)."""
     def cat(a, b):
         return jnp.concatenate([a, b], axis=1)
 
     gop = cat(static.gop, dyn.gop)
     gdepth = cat(static.gdepth, dyn.gdepth)
     key = jnp.where(gop > 0.0, gdepth, jnp.inf)
-    gxy = cat(static.gxy, dyn.gxy)
-    gconic = cat(static.gconic, dyn.gconic)
-    gcol = cat(static.gcol, dyn.gcol)
-    (_, sx, sy, sca, scb, scc, sr, sg, sb, sop, sdep) = lax.sort(
-        (key, gxy[..., 0], gxy[..., 1],
-         gconic[..., 0], gconic[..., 1], gconic[..., 2],
-         gcol[..., 0], gcol[..., 1], gcol[..., 2], gop, gdepth),
-        dimension=1, num_keys=1)
+    payload = jnp.concatenate([
+        cat(static.gxy, dyn.gxy),
+        cat(static.gconic, dyn.gconic),
+        cat(static.gcol, dyn.gcol),
+        gop[..., None], gdepth[..., None],
+    ], axis=-1)                                            # (T, K, 10)
+    merged = _sort_rows(key, payload)
     return TileCache(
-        gxy=jnp.stack([sx, sy], -1),
-        gconic=jnp.stack([sca, scb, scc], -1),
-        gcol=jnp.stack([sr, sg, sb], -1),
-        gop=sop, gdepth=sdep,
+        gxy=merged[..., 0:2],
+        gconic=merged[..., 2:5],
+        gcol=merged[..., 5:8],
+        gop=merged[..., 8], gdepth=merged[..., 9],
         counts=static.counts + dyn.counts,
     )
 
@@ -135,7 +171,7 @@ def rasterize_with_cache(
 
     rgb, depth_acc, trans = composite_dispatch(
         merged.gxy, merged.gconic, merged.gcol, merged.gop, merged.gdepth,
-        config, tx)
+        config, tx, counts=merged.counts)
 
     if background is None:
         background = jnp.zeros(3, dtype=rgb.dtype)

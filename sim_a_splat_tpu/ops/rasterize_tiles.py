@@ -301,9 +301,11 @@ def gather_tile_lists(
 
 
 def composite_dispatch(gxy, gconic, gcol, gop, gdepth, config: RasterConfig,
-                       tx: int):
+                       tx: int, counts=None):
     """Composite full-grid tile lists via the configured backend.
 
+    ``counts`` (T,) int32 active entries per tile lets the pallas backend
+    skip all-padding chunks (lists are actives-first by construction).
     Returns (rgb (T, P, 3), depth_acc (T, P), trans (T, P))."""
     T, K = gop.shape
     use_pallas = (
@@ -315,10 +317,13 @@ def composite_dispatch(gxy, gconic, gcol, gop, gdepth, config: RasterConfig,
         return composite_tiles(gxy, gconic, gcol, gop, gdepth, tile_ids,
                                config, tx)
     from sim_a_splat_tpu.ops.pallas_composite import composite_pallas
+    if counts is None:
+        counts = jnp.full((T,), K, jnp.int32)
     payload = jnp.concatenate(
         [gxy, gconic, gcol, gdepth[..., None], gop[..., None]], axis=-1)
     payload_t = jnp.swapaxes(payload, 1, 2)                # (T, 10, K)
-    out = composite_pallas(payload_t, config.tile_size, tx,
+    out = composite_pallas(payload_t, counts.astype(jnp.int32),
+                           config.tile_size, tx,
                            config.sigma_cutoff,
                            config.backend == "pallas_interpret",
                            config.term_eps)
@@ -344,7 +349,7 @@ def render_binned(
     (gxy, gconic, gcol, gop, gdepth), counts, n_slot_trunc = gather_tile_lists(
         proj, colors, opacities, config, tx, ty)
     rgb, depth_acc, trans = composite_dispatch(
-        gxy, gconic, gcol, gop, gdepth, config, tx)
+        gxy, gconic, gcol, gop, gdepth, config, tx, counts=counts)
 
     if background is None:
         background = jnp.zeros(3, dtype=rgb.dtype)

@@ -47,7 +47,7 @@ class EpisodeRecorder:
             else:
                 stacked[k] = np.stack(leaves)
         path = self.out_dir / f"episode_{self._episode:06d}.npz"
-        np.savez_compressed(path, **stacked)
+        self._write_npz(path, stacked)
         self._index.append({"episode": self._episode,
                             "length": len(self._steps),
                             "file": path.name, **meta})
@@ -56,6 +56,21 @@ class EpisodeRecorder:
         self._steps = []
         self._episode += 1
         return path
+
+    @staticmethod
+    def _write_npz(path: Path, stacked: dict) -> None:
+        """Native multithreaded-deflate npz writer (sim_a_splat_tpu.native)
+        when available — image-observation episodes compress at datagen
+        rate — else ``np.savez_compressed``.  Both produce standard npz."""
+        from sim_a_splat_tpu import native
+
+        if native.available():
+            try:
+                native.npz_write(path, stacked)
+                return
+            except OSError:      # zip32 overflow → zip64-capable fallback
+                pass
+        np.savez_compressed(path, **stacked)
 
     @staticmethod
     def load_episode(path: str | Path) -> dict:

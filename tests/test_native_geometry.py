@@ -70,6 +70,35 @@ def test_bvh_used_by_link_mask():
     np.testing.assert_array_equal(m, m_ref)
 
 
+def test_npz_writer_roundtrip(tmp_path):
+    """Native multithreaded npz writer produces standard zip members that
+    np.load reads back bit-exactly (incl. 0-d, empty, non-contiguous)."""
+    rng = np.random.default_rng(5)
+    arrays = {
+        "obs.image": (rng.uniform(0, 1, (40, 24, 24, 3)) * 255).astype(
+            np.uint8),
+        "action": rng.normal(size=(40, 2)).astype(np.float32),
+        "ints": np.arange(17, dtype=np.int64),
+        "empty": np.zeros((0, 3), np.float32),
+        "scalar": np.float64(3.5),
+        "noncontig": np.arange(24).reshape(4, 6).T,
+        "bools": np.asarray([True, False, True]),
+    }
+    p = tmp_path / "ep.npz"
+    native.npz_write(p, arrays)
+    z = np.load(p)
+    assert set(z.files) == set(arrays)
+    for k, v in arrays.items():
+        v = np.asarray(v)
+        assert z[k].dtype == v.dtype and z[k].shape == v.shape, k
+        np.testing.assert_array_equal(z[k], v)
+
+    # level=0 stores uncompressed, still a valid zip
+    native.npz_write(p, arrays, level=0)
+    z = np.load(p)
+    np.testing.assert_array_equal(z["obs.image"], arrays["obs.image"])
+
+
 def test_icp_with_native_correspondences():
     from sim_a_splat_tpu.tools.registration import icp
 
