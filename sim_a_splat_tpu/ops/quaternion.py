@@ -120,6 +120,65 @@ def from_axis_angle(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def to_angle_axis(q: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion (..., 4) wxyz → angle-axis vector (..., 3).
+
+    Capability of the reference's ceres-derived ``quaternion_to_angle_axis``
+    (covariance_utils.py:3-66).  Branch-free: where sin(θ/2) ≈ 0 the scale
+    2·θ/2 / sin(θ/2) is replaced by its Taylor value 2 (the reference uses
+    the same k = 2 fallback via eps masking; here a select).
+    """
+    q = normalize(q)
+    w = q[..., 0]
+    v = q[..., 1:]
+    sin_half = jnp.linalg.norm(v, axis=-1)
+    # atan2 handles w<0 (θ in (π, 2π)) exactly like the reference's
+    # sign-corrected atan2(-sin, -cos) branch.
+    half = jnp.arctan2(jnp.where(w < 0, -sin_half, sin_half),
+                       jnp.where(w < 0, -w, w))
+    small = sin_half < 1e-6
+    k = jnp.where(small, 2.0, 2.0 * half / jnp.maximum(sin_half, _EPS))
+    return v * k[..., None]
+
+
+def from_angle_axis(aa: jnp.ndarray) -> jnp.ndarray:
+    """Angle-axis vector (..., 3) → quaternion (..., 4) wxyz, branch-free
+    (sinc-style Taylor fallback for θ → 0)."""
+    theta = jnp.linalg.norm(aa, axis=-1)
+    half = 0.5 * theta
+    small = theta < 1e-6
+    # sin(θ/2)/θ → 1/2 − θ²/48 as θ → 0
+    s = jnp.where(small, 0.5 - theta * theta / 48.0,
+                  jnp.sin(half) / jnp.maximum(theta, _EPS))
+    return jnp.concatenate([jnp.cos(half)[..., None], aa * s[..., None]],
+                           axis=-1)
+
+
+def angle_axis_to_rotation_matrix(aa: jnp.ndarray) -> jnp.ndarray:
+    """Angle-axis (..., 3) → rotation matrix (..., 3, 3) via Rodrigues.
+
+    Capability of the reference's ``angle_axis_to_rotation_matrix``
+    (covariance_utils.py:68-139), including its small-angle fallback
+    R ≈ I + [aa]× — here as a branch-free select on θ < 1e-6.
+    """
+    theta = jnp.linalg.norm(aa, axis=-1)
+    small = theta < 1e-6
+    safe = jnp.maximum(theta, _EPS)
+    k = aa / safe[..., None]
+    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
+    zeros = jnp.zeros_like(kx)
+    K = jnp.stack([zeros, -kz, ky, kz, zeros, -kx, -ky, kx, zeros],
+                  axis=-1).reshape(aa.shape[:-1] + (3, 3))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=aa.dtype), K.shape)
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    R_full = eye + s[..., None, None] * K + (1.0 - c)[..., None, None] * (K @ K)
+    # Taylor: R ≈ I + [aa]× (reference covariance_utils.py:124-135)
+    ax, ay, az = aa[..., 0], aa[..., 1], aa[..., 2]
+    A = jnp.stack([zeros, -az, ay, az, zeros, -ax, -ay, ax, zeros],
+                  axis=-1).reshape(aa.shape[:-1] + (3, 3))
+    return jnp.where(small[..., None, None], eye + A, R_full)
+
+
 def from_rpy(rpy: jnp.ndarray) -> jnp.ndarray:
     """Roll-pitch-yaw (..., 3) extrinsic XYZ → quaternion, matching
     Drake's ``RollPitchYaw`` convention used by the reference

@@ -75,3 +75,33 @@ def test_rpy_roundtrip_and_drake_convention():
     np.testing.assert_allclose(_scipy_R(q), expect, atol=1e-5)
     rpy2 = np.asarray(quat.to_rpy(jnp.asarray(q, jnp.float32)))
     np.testing.assert_allclose(rpy2, rpy, atol=1e-4)
+
+
+def test_angle_axis_roundtrip_matches_scipy():
+    q = _rand_quats(64, 9)
+    aa = np.asarray(quat.to_angle_axis(jnp.asarray(q, jnp.float32)))
+    expect = Rotation.from_quat(np.roll(q, -1, axis=-1)).as_rotvec()
+    # rotvec is defined up to 2π wrapping with opposite axis; compare matrices
+    np.testing.assert_allclose(
+        Rotation.from_rotvec(aa).as_matrix(),
+        Rotation.from_rotvec(expect).as_matrix(), atol=1e-5)
+    q2 = np.asarray(quat.from_angle_axis(jnp.asarray(aa, jnp.float32)))
+    np.testing.assert_allclose(_scipy_R(q2), _scipy_R(q), atol=1e-5)
+
+
+def test_angle_axis_small_angle():
+    aa = np.asarray([[1e-9, -2e-9, 3e-10], [0.0, 0.0, 0.0]], np.float32)
+    R = np.asarray(quat.angle_axis_to_rotation_matrix(jnp.asarray(aa)))
+    np.testing.assert_allclose(R[1], np.eye(3), atol=1e-7)
+    q = np.asarray(quat.from_angle_axis(jnp.asarray(aa)))
+    assert np.all(np.isfinite(q))
+    np.testing.assert_allclose(q[1], [1, 0, 0, 0], atol=1e-7)
+    back = np.asarray(quat.to_angle_axis(jnp.asarray(q)))
+    assert np.all(np.isfinite(back))
+
+
+def test_angle_axis_to_rotation_matrix_matches_scipy():
+    rng = np.random.default_rng(11)
+    aa = rng.normal(size=(48, 3)) * 1.5
+    R = np.asarray(quat.angle_axis_to_rotation_matrix(jnp.asarray(aa, jnp.float32)))
+    np.testing.assert_allclose(R, Rotation.from_rotvec(aa).as_matrix(), atol=1e-5)
