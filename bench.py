@@ -66,7 +66,12 @@ def main():
     if use_cache:
         # production env path: static background projected + binned once per
         # train step (shared across the batch), per-env work is dynamic-only
-        prepare, step_c, P = _make_step_cached(graph, RES, RES, raster)
+        dyn_cap = int(os.environ.get("BENCH_DYN_CAP", "128"))
+        dyn_m = int(os.environ.get("BENCH_DYN_M", "9"))
+        skip = os.environ.get("BENCH_SKIP", "1") != "0"
+        prepare, step_c, P = _make_step_cached(
+            graph, RES, RES, raster, dyn_capacity=dyn_cap,
+            static_skip=skip, dyn_max_tiles=dyn_m)
 
         def loss_of(scene, states, actions):
             cache = prepare(scene)

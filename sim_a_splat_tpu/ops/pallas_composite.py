@@ -94,13 +94,19 @@ def _pixel_coords(ts: int, tx: int, dtype):
     return px, py
 
 
-def _fwd_kernel(count_ref, payload_ref, out_ref, carry_ref, acc_ref, tc_ref,
-                alive_ref, *, ts, tx, nc, power_min, term_eps):
+def _fwd_kernel(count_ref, skip_ref, payload_ref, out_ref, carry_ref,
+                acc_ref, tc_ref, alive_ref, *, ts, tx, nc, power_min,
+                term_eps):
     P = ts * ts
     f32 = payload_ref.dtype
     px, py = _pixel_coords(ts, tx, f32)
 
     count = jnp.max(count_ref[...])      # (1, 128) replicated lanes → scalar
+    # whole-tile skip (cached-render path: tiles untouched by dynamic
+    # gaussians reuse the once-per-step static composite — the caller
+    # where-selects, so this tile's output is discarded; emit the trivial
+    # empty composite and do no work)
+    count = jnp.where(jnp.max(skip_ref[...]) > 0, count, 0)
     acc_ref[...] = jnp.zeros((P, 4), f32)
     tc_ref[...] = jnp.ones((P, 1), f32)
     alive_ref[0] = jnp.int32(1)
@@ -134,12 +140,16 @@ def _fwd_kernel(count_ref, payload_ref, out_ref, carry_ref, acc_ref, tc_ref,
     out_ref[:, 5:8] = jnp.zeros((P, 3), f32)
 
 
-def _bwd_kernel(count_ref, payload_ref, ct_ref, fwd_ref, carry_ref, grad_ref,
-                prefix_ref, alive_ref, *, ts, tx, nc, power_min, term_eps):
+def _bwd_kernel(count_ref, skip_ref, payload_ref, ct_ref, fwd_ref, carry_ref,
+                grad_ref, prefix_ref, alive_ref, *, ts, tx, nc, power_min,
+                term_eps):
     P = ts * ts
     f32 = payload_ref.dtype
     px, py = _pixel_coords(ts, tx, f32)
     count = jnp.max(count_ref[...])      # (1, 128) replicated lanes → scalar
+    # skipped tiles received zero cotangents (the caller's where-select
+    # routed them to the static composite) — zero grads, no work
+    count = jnp.where(jnp.max(skip_ref[...]) > 0, count, 0)
 
     ct_rgbd = ct_ref[:, 0:4]                               # (P, 4)
     ct_tc = ct_ref[:, 4:5]                                 # (P, 1)
@@ -207,19 +217,23 @@ def _bwd_kernel(count_ref, payload_ref, ct_ref, fwd_ref, carry_ref, grad_ref,
             prefix_ref[...] = prefix + incl[:, CHUNK - 1:CHUNK]
 
 
-def _call_fwd(payload, counts, ts, tx, nc, power_min, interpret, term_eps):
+def _call_fwd(payload, counts, skip, ts, tx, nc, power_min, interpret,
+              term_eps):
     T = payload.shape[0]
     P = ts * ts
     K = payload.shape[2]
     # lane-replicated (T, 1, 128) — Mosaic has no scalar SMEM blocks, so the
     # per-tile count rides VMEM lanes and is reduced to an SREG in-kernel
     counts = jnp.broadcast_to(counts[:, None, None], (T, 1, 128))
+    skip = jnp.broadcast_to(skip[:, None, None], (T, 1, 128))
     kern = functools.partial(_fwd_kernel, ts=ts, tx=tx, nc=nc,
                              power_min=power_min, term_eps=term_eps)
     return pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=[pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((None, 10, K), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -239,20 +253,23 @@ def _call_fwd(payload, counts, ts, tx, nc, power_min, interpret, term_eps):
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
-    )(counts, payload)
+    )(counts, skip, payload)
 
 
-def _call_bwd(payload, counts, ct_out, fwd_out, carries, ts, tx, nc,
+def _call_bwd(payload, counts, skip, ct_out, fwd_out, carries, ts, tx, nc,
               power_min, interpret, term_eps):
     T, _, K = payload.shape
     P = ts * ts
     counts = jnp.broadcast_to(counts[:, None, None], (T, 1, 128))
+    skip = jnp.broadcast_to(skip[:, None, None], (T, 1, 128))
     kern = functools.partial(_bwd_kernel, ts=ts, tx=tx, nc=nc,
                              power_min=power_min, term_eps=term_eps)
     return pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=[
+            pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 10, K), lambda i: (i, 0, 0),
@@ -272,11 +289,11 @@ def _call_bwd(payload, counts, ct_out, fwd_out, carries, ts, tx, nc,
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
-    )(counts, payload, ct_out, fwd_out, carries)
+    )(counts, skip, payload, ct_out, fwd_out, carries)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def composite_pallas(payload, counts, ts: int, tx: int,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def composite_pallas(payload, counts, skip, ts: int, tx: int,
                      sigma_cutoff: Optional[float], interpret: bool,
                      term_eps: Optional[float] = None):
     """payload (T, 10, K) → out (T, P, 8): [rgb, depth_acc, trans, 0...].
@@ -284,35 +301,41 @@ def composite_pallas(payload, counts, ts: int, tx: int,
     K must be a multiple of 128; P = ts².  Entries must be depth-sorted per
     tile, actives first, with inactive entries carrying opacity 0 (the
     gather_tile_lists contract); ``counts`` (T,) int32 active entries per
-    tile — chunks past the count are skipped entirely.  Payload rows:
-    x, y, conic(a,b,c), r, g, b, depth, opacity.  ``term_eps`` enables
-    per-tile early termination once every pixel's transmittance is below it
-    (gsplat semantics; error bound = term_eps).
+    tile — chunks past the count are skipped entirely.  ``skip`` (T,)
+    int32: tiles with skip == 0 are skipped outright, forward AND backward,
+    and emit the trivial empty composite (rgb 0, trans 1) — only valid when
+    the caller discards those tiles' outputs (rasterize_with_cache's
+    where-select against the static composite).  Pass ``counts`` (or ones)
+    to disable.  Payload rows: x, y, conic(a,b,c), r, g, b, depth, opacity.
+    ``term_eps`` enables per-tile early termination once every pixel's
+    transmittance is below it (gsplat semantics; error bound = term_eps).
     """
     nc = payload.shape[2] // CHUNK
     pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
-    out, _ = _call_fwd(payload, counts, ts, tx, nc, pmin, interpret, term_eps)
+    out, _ = _call_fwd(payload, counts, skip, ts, tx, nc, pmin, interpret,
+                       term_eps)
     return out
 
 
-def _composite_fwd(payload, counts, ts, tx, sigma_cutoff, interpret,
+def _composite_fwd(payload, counts, skip, ts, tx, sigma_cutoff, interpret,
                    term_eps):
     nc = payload.shape[2] // CHUNK
     pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
-    out, carries = _call_fwd(payload, counts, ts, tx, nc, pmin, interpret,
-                             term_eps)
-    return out, (payload, counts, out, carries)
+    out, carries = _call_fwd(payload, counts, skip, ts, tx, nc, pmin,
+                             interpret, term_eps)
+    return out, (payload, counts, skip, out, carries)
 
 
 def _composite_bwd(ts, tx, sigma_cutoff, interpret, term_eps, res, ct):
     import numpy as _np
 
-    payload, counts, out, carries = res
+    payload, counts, skip, out, carries = res
     nc = payload.shape[2] // CHUNK
     pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
-    grad = _call_bwd(payload, counts, ct, out, carries, ts, tx, nc, pmin,
-                     interpret, term_eps)
-    return (grad, _np.zeros(counts.shape, jax.dtypes.float0))
+    grad = _call_bwd(payload, counts, skip, ct, out, carries, ts, tx, nc,
+                     pmin, interpret, term_eps)
+    return (grad, _np.zeros(counts.shape, jax.dtypes.float0),
+            _np.zeros(skip.shape, jax.dtypes.float0))
 
 
 composite_pallas.defvjp(_composite_fwd, _composite_bwd)

@@ -78,58 +78,83 @@ def build_tile_cache_sh(means, covs, sh_coeffs, opacities, camera, config,
 
 
 @jax.custom_vjp
-def _sort_rows(key, payload):
-    """Per-row sort of ``payload`` (T, K, C) columns by ``key`` (T, K).
+def _permute_rows(payload, perm, inv):
+    """Row-wise permutation gather: ``out[t, k] = payload[t, perm[t, k]]``.
 
-    Forward: one fused multi-operand ``lax.sort`` (the fast path on TPU).
-    Backward: the sort applies a permutation, so the exact VJP is a gather
-    of the cotangents by the *inverse* permutation (one int sort + one
-    gather) — never the scatter XLA emits when differentiating sort, which
-    is the backward-pass bottleneck on TPU (same motivation as
-    _tile_gather in rasterize_tiles.py)."""
-    out, _ = _sort_rows_fwd(key, payload)
-    return out
+    ``inv`` is the inverse permutation (``inv[t, perm[t, k]] == k``); the
+    exact VJP of a permutation gather is a gather by the inverse — never
+    the (T·K)-row scatter-add XLA emits for a gather transpose, which is
+    the backward-pass bottleneck on TPU (round-1 profile: the sort-based
+    merge's backward was 72 ms of the 153 ms batch step)."""
+    return jnp.take_along_axis(payload, perm[..., None], axis=1)
 
 
-def _sort_rows_fwd(key, payload):
-    K = key.shape[1]
-    iota = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), key.shape)
-    cols = tuple(payload[..., i] for i in range(payload.shape[-1]))
-    sorted_ = lax.sort((lax.stop_gradient(key), iota) + cols,
-                       dimension=1, num_keys=1)
-    return jnp.stack(sorted_[2:], axis=-1), sorted_[1]     # (out, perm)
+def _permute_rows_fwd(payload, perm, inv):
+    return _permute_rows(payload, perm, inv), inv
 
 
-def _sort_rows_bwd(perm, ct):
+def _permute_rows_bwd(inv, ct):
     import numpy as _np
 
-    K = perm.shape[1]
-    iota = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), perm.shape)
-    _, inv = lax.sort((perm, iota), dimension=1, num_keys=1)
     grad = jnp.take_along_axis(ct, inv[..., None], axis=1)
-    return jnp.zeros(perm.shape, ct.dtype), grad
+    zero_int = _np.zeros(inv.shape, jax.dtypes.float0)
+    return grad, zero_int, zero_int
 
 
-_sort_rows.defvjp(_sort_rows_fwd, _sort_rows_bwd)
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
 def merge_sorted_lists(static: TileCache, dyn: TileCache) -> TileCache:
-    """Merge two depth-sorted per-tile list sets into one (single fused
-    sort per tile over the concatenated capacity; inactive entries sink to
-    the end via +inf keys; scatter-free backward via :func:`_sort_rows`)."""
+    """Merge two depth-sorted per-tile list sets into one.
+
+    Both inputs obey the gather_tile_lists contract (actives first, depth
+    ascending, inactive entries opacity 0), so instead of re-sorting the
+    concatenated lists (a 12-operand lax.sort — the round-1 hot spot) the
+    merged position of every entry has the closed "merge path" form
+
+        pos_static[i] = i + #{j : dkey[j] <  skey[i]}
+        pos_dyn[j]    = j + #{i : skey[i] <= dkey[j]}
+
+    with keys = depth (+inf for inactive).  One (Ks × Kd) compare-reduce
+    gives both counts, one 2-operand int sort inverts the position map,
+    and one row gather (:func:`_permute_rows`, gather-only backward)
+    produces the merged payload.
+    """
     def cat(a, b):
         return jnp.concatenate([a, b], axis=1)
 
+    skey = jnp.where(static.gop > 0.0, static.gdepth, jnp.inf)  # (T, Ks)
+    dkey = jnp.where(dyn.gop > 0.0, dyn.gdepth, jnp.inf)        # (T, Kd)
+    Ks = skey.shape[1]
+    Kd = dkey.shape[1]
+
+    # merge-path counts: strict < on one side, <= on the other keeps the
+    # destination map a permutation even with equal keys (inf padding ties).
+    # Two independently-oriented compare-reduces, each reducing over the
+    # LAST (lane) axis, so XLA fuses compare+sum without materializing the
+    # (T, Ks, Kd) mask (a shared mask with a middle-axis reduction was
+    # measured 10× slower on TPU).
+    cnt_d = jnp.sum(dkey[:, None, :] < skey[:, :, None],
+                    axis=2, dtype=jnp.int32)               # (T, Ks)
+    cnt_s = jnp.sum(skey[:, None, :] <= dkey[:, :, None],
+                    axis=2, dtype=jnp.int32)               # (T, Kd)
+    pos_s = jnp.arange(Ks, dtype=jnp.int32)[None, :] + cnt_d
+    pos_d = jnp.arange(Kd, dtype=jnp.int32)[None, :] + cnt_s
+    dest = cat(pos_s, pos_d)                               # (T, K) src → dst
+
+    K = Ks + Kd
+    iota = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), dest.shape)
+    _, perm = lax.sort((dest, iota), dimension=1, num_keys=1)  # dst → src
+
     gop = cat(static.gop, dyn.gop)
     gdepth = cat(static.gdepth, dyn.gdepth)
-    key = jnp.where(gop > 0.0, gdepth, jnp.inf)
     payload = jnp.concatenate([
         cat(static.gxy, dyn.gxy),
         cat(static.gconic, dyn.gconic),
         cat(static.gcol, dyn.gcol),
         gop[..., None], gdepth[..., None],
     ], axis=-1)                                            # (T, K, 10)
-    merged = _sort_rows(key, payload)
+    merged = _permute_rows(payload, perm, dest)
     return TileCache(
         gxy=merged[..., 0:2],
         gconic=merged[..., 2:5],
@@ -137,6 +162,22 @@ def merge_sorted_lists(static: TileCache, dyn: TileCache) -> TileCache:
         gop=merged[..., 8], gdepth=merged[..., 9],
         counts=static.counts + dyn.counts,
     )
+
+
+def build_static_composite(cache: TileCache, camera: Camera,
+                           config: RasterConfig):
+    """Composite the static cache alone → (rgb, depth_acc, trans) per tile.
+
+    Computed once per train step next to :func:`build_tile_cache`; lets
+    :func:`rasterize_with_cache` skip compositing (forward and backward)
+    for every tile the dynamic gaussians don't touch — in the env loop
+    that is most of the image (the reference's static ``/scene_ohne_robot``
+    split, splat_handler.py:104-119).  Differentiable into the cache.
+    """
+    tx, _ = _grid(camera, config)
+    return composite_dispatch(cache.gxy, cache.gconic, cache.gcol,
+                              cache.gop, cache.gdepth, config, tx,
+                              counts=cache.counts)
 
 
 def rasterize_with_cache(
@@ -149,6 +190,8 @@ def rasterize_with_cache(
     config: RasterConfig,
     dyn_capacity: int = 128,
     background: jnp.ndarray | None = None,
+    static_composite=None,
+    dyn_max_tiles: int | None = None,
 ):
     """Render static cache + dynamic gaussians → ((H, W, 3), RasterAux).
 
@@ -156,6 +199,14 @@ def rasterize_with_cache(
     was built; dynamic gaussians get their own ``dyn_capacity``.  The
     composite capacity is their sum (kept chunk-aligned by construction:
     pass chunk-multiples for both).
+
+    ``static_composite`` (from :func:`build_static_composite`, same cache/
+    camera/config) enables whole-tile skipping: tiles with zero dynamic
+    entries reuse it instead of re-compositing the full static list, exact
+    because their merged list IS the static list.  ``dyn_max_tiles``
+    overrides ``config.max_tiles_per_gaussian`` for the dynamic binning
+    (dynamic gaussians are typically small — fewer bbox slots ⇒ smaller
+    binning sort).
     """
     ts = config.tile_size
     H, W = camera.height, camera.width
@@ -163,6 +214,8 @@ def rasterize_with_cache(
     T = tx * ty
 
     dyn_cfg = config._replace(tile_capacity=dyn_capacity)
+    if dyn_max_tiles is not None:
+        dyn_cfg = dyn_cfg._replace(max_tiles_per_gaussian=dyn_max_tiles)
     proj = project(dyn_means, dyn_covs, camera)
     (dxy, dconic, dcol, dop, ddep), dcounts, dtrunc = gather_tile_lists(
         proj, dyn_colors, dyn_opacities, dyn_cfg, tx, ty)
@@ -171,7 +224,14 @@ def rasterize_with_cache(
 
     rgb, depth_acc, trans = composite_dispatch(
         merged.gxy, merged.gconic, merged.gcol, merged.gop, merged.gdepth,
-        config, tx, counts=merged.counts)
+        config, tx, counts=merged.counts,
+        skip=dcounts if static_composite is not None else None)
+    if static_composite is not None:
+        s_rgb, s_depth, s_trans = static_composite
+        touched = dcounts > 0
+        rgb = jnp.where(touched[:, None, None], rgb, s_rgb)
+        depth_acc = jnp.where(touched[:, None], depth_acc, s_depth)
+        trans = jnp.where(touched[:, None], trans, s_trans)
 
     if background is None:
         background = jnp.zeros(3, dtype=rgb.dtype)
@@ -194,8 +254,12 @@ def rasterize_with_cache(
 
 def rasterize_with_cache_sh(cache, dyn_means, dyn_covs, dyn_sh, dyn_opac,
                             camera, sh_degree: int, config,
-                            dyn_capacity: int = 128, background=None):
+                            dyn_capacity: int = 128, background=None,
+                            static_composite=None,
+                            dyn_max_tiles: int | None = None):
     dirs = view_directions(dyn_means, camera)
     colors = sh_ops.eval_sh_color(dyn_sh, dirs, sh_degree)
     return rasterize_with_cache(cache, dyn_means, dyn_covs, colors, dyn_opac,
-                                camera, config, dyn_capacity, background)
+                                camera, config, dyn_capacity, background,
+                                static_composite=static_composite,
+                                dyn_max_tiles=dyn_max_tiles)

@@ -301,11 +301,14 @@ def gather_tile_lists(
 
 
 def composite_dispatch(gxy, gconic, gcol, gop, gdepth, config: RasterConfig,
-                       tx: int, counts=None):
+                       tx: int, counts=None, skip=None):
     """Composite full-grid tile lists via the configured backend.
 
     ``counts`` (T,) int32 active entries per tile lets the pallas backend
     skip all-padding chunks (lists are actives-first by construction).
+    ``skip`` (T,) int32: tiles with skip == 0 are not composited at all
+    (their output is the empty composite) — only valid when the caller
+    discards those tiles (the cached path's static-composite select).
     Returns (rgb (T, P, 3), depth_acc (T, P), trans (T, P))."""
     T, K = gop.shape
     use_pallas = (
@@ -314,15 +317,24 @@ def composite_dispatch(gxy, gconic, gcol, gop, gdepth, config: RasterConfig,
     )
     if not use_pallas:
         tile_ids = jnp.arange(T, dtype=jnp.int32)
-        return composite_tiles(gxy, gconic, gcol, gop, gdepth, tile_ids,
-                               config, tx)
+        rgb, depth_acc, trans = composite_tiles(
+            gxy, gconic, gcol, gop, gdepth, tile_ids, config, tx)
+        if skip is not None:   # same output contract as the pallas skip
+            m = (skip > 0)
+            rgb = jnp.where(m[:, None, None], rgb, 0.0)
+            depth_acc = jnp.where(m[:, None], depth_acc, 0.0)
+            trans = jnp.where(m[:, None], trans, 1.0)
+        return rgb, depth_acc, trans
     from sim_a_splat_tpu.ops.pallas_composite import composite_pallas
     if counts is None:
         counts = jnp.full((T,), K, jnp.int32)
+    if skip is None:
+        skip = counts
     payload = jnp.concatenate(
         [gxy, gconic, gcol, gdepth[..., None], gop[..., None]], axis=-1)
     payload_t = jnp.swapaxes(payload, 1, 2)                # (T, 10, K)
     out = composite_pallas(payload_t, counts.astype(jnp.int32),
+                           skip.astype(jnp.int32),
                            config.tile_size, tx,
                            config.sigma_cutoff,
                            config.backend == "pallas_interpret",

@@ -93,6 +93,23 @@ class KinematicChain:
         return tuple(order[i] for i in range(self.ndof))
 
 
+def _rpy_to_quat_np(rpy: np.ndarray) -> np.ndarray:
+    """Numpy twin of ops.quaternion.from_rpy (Drake RollPitchYaw convention,
+    R = Rz(y)·Ry(p)·Rx(r)).  URDF parsing is host-side; routing it through
+    jnp costs a device dispatch per joint — minutes over the reference's 28
+    URDFs on a remote-dispatch platform."""
+    r, p, y = rpy[0] * 0.5, rpy[1] * 0.5, rpy[2] * 0.5
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    return np.array([
+        cr * cp * cy + sr * sp * sy,
+        sr * cp * cy - cr * sp * sy,
+        cr * sp * cy + sr * cp * sy,
+        cr * cp * sy - sr * sp * cy,
+    ])
+
+
 def _rpy_xyz(el) -> tuple[np.ndarray, np.ndarray]:
     if el is None:
         return np.zeros(3), np.zeros(3)
@@ -193,7 +210,7 @@ def load_chain(urdf_path: str | Path, root: str | None = None) -> KinematicChain
         parent[i] = idx[jd["parent"]]
         jtype[i] = type_map.get(jd["type"], JOINT_FIXED)
         joint_names[i] = jd["name"]
-        origin_q[i] = np.asarray(quat.from_rpy(jnp.asarray(jd["rpy"], jnp.float32)))
+        origin_q[i] = _rpy_to_quat_np(np.asarray(jd["rpy"], np.float64))
         origin_t[i] = jd["xyz"]
         a = jd["axis"]
         axis[i] = a / max(np.linalg.norm(a), 1e-9)

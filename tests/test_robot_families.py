@@ -65,11 +65,13 @@ def test_arm5_fk_and_ik():
     assert float(res.pos_err) < 5e-4
 
 
-@pytest.mark.parametrize("pkg,urdf,ndof", [
-    ("pushscara3", "pushscara3.urdf", 3),
-    ("pusharm5", "pusharm5.urdf", 5),
+@pytest.mark.parametrize("pkg,urdf,ndof,target", [
+    # scara quill joint is limited to [0, 0.18] (pushscara3.urdf:34) —
+    # command it within limits and clear of the block so PD can converge
+    ("pushscara3", "pushscara3.urdf", 3, [0.2, 0.2, 0.08]),
+    ("pusharm5", "pusharm5.urdf", 5, [0.2] * 5),
 ])
-def test_manipulator_env_runs(pkg, urdf, ndof):
+def test_manipulator_env_runs(pkg, urdf, ndof, target):
     env = ManipulatorSimEnv(
         env_objects=True,
         visualise_flag=False,
@@ -85,7 +87,7 @@ def test_manipulator_env_runs(pkg, urdf, ndof):
         "goal_pos": [0.4, 0.1, 0.0, 0.0],
     })
     assert obs["robot_joint_pos"].shape == (ndof,)
-    target = np.full(ndof, 0.2, np.float32)
+    target = np.asarray(target, np.float32)
     for _ in range(30):
         obs, reward, terminated, truncated, info = env.step(target)
     np.testing.assert_allclose(obs["robot_joint_pos"], target, atol=0.05)
