@@ -10,6 +10,7 @@ from sim_a_splat_tpu.splat.refine import (
     cull_gaussians, duplicate_gaussians, split_gaussians,
 )
 from sim_a_splat_tpu.splat.pipeline import GaussianSplatPipeline, load_dataparser_transform
+from sim_a_splat_tpu.splat.dataset import SplatDataset, load_dataset, train_eval_split_fraction
 from sim_a_splat_tpu.splat.export import ellipsoid_mesh, save_ellipsoid_ply, save_ply
 
 __all__ = [
@@ -17,5 +18,6 @@ __all__ = [
     "save_npz", "load_nerfstudio", "synthetic_scene", "aabb_mask",
     "cull_gaussians", "duplicate_gaussians", "split_gaussians",
     "GaussianSplatPipeline", "load_dataparser_transform",
+    "SplatDataset", "load_dataset", "train_eval_split_fraction",
     "ellipsoid_mesh", "save_ellipsoid_ply", "save_ply",
 ]

@@ -56,17 +56,46 @@ class GaussianSplatPipeline:
     scene: GaussianScene
     dataparser: Sim3
     raster: RasterConfig = RasterConfig(tile_capacity=1024, chunk=128)
+    dataset: Optional["SplatDataset"] = None   # noqa: F821
 
     @staticmethod
     def load_run(run_dir: str | Path,
                  raster: RasterConfig = RasterConfig(tile_capacity=1024,
-                                                     chunk=128)):
+                                                     chunk=128),
+                 data_dir: str | Path | None = None,
+                 dataset_mode: str = "val"):
         """Load a nerfstudio splatfacto run dir (the ``eval_setup`` path,
-        reference :77-82, minus torch/CUDA)."""
+        reference :77-82, minus torch/CUDA).  ``data_dir`` (the processed
+        dataset dir holding ``transforms.json``) additionally loads the
+        dataset split — the reference constructor's ``load_dataset`` +
+        ``get_cameras`` steps (nerfstudio_utils.py:71-75, :84-102)."""
+        from sim_a_splat_tpu.splat.dataset import load_dataset
+
         scene = loaders.load_nerfstudio(run_dir)
+        dp = load_dataparser_transform(run_dir)
+        ds = (load_dataset(data_dir, dataset_mode, dataparser=dp)
+              if data_dir is not None else None)
         return GaussianSplatPipeline(
-            scene=scene, dataparser=load_dataparser_transform(run_dir),
-            raster=raster)
+            scene=scene, dataparser=dp, raster=raster, dataset=ds)
+
+    # --- dataset side (reference :84-121) -----------------------------------
+
+    def cameras(self, res_factor: float | None = None) -> list:
+        """Render-ready cameras of the loaded split (``get_cameras`` +
+        ``rescale_output_resolution``, reference :95-102)."""
+        if self.dataset is None:
+            raise ValueError("pipeline loaded without data_dir")
+        return self.dataset.cameras(res_factor)
+
+    def render_view(self, i: int, res_factor: float | None = None,
+                    background=None) -> dict:
+        """Render dataset view ``i`` from its own camera — the
+        render-the-train-views workflow the reference gets from
+        ``get_outputs_for_camera`` on dataset cameras."""
+        if self.dataset is None:
+            raise ValueError("pipeline loaded without data_dir")
+        cam = self.dataset.camera(i, res_factor)
+        return self.render(cam.pose, camera=cam, background=background)
 
     def render(self, pose: SE3, fov_y: float = 1.0, width: int = 640,
                height: int = 480, camera: Camera | None = None,

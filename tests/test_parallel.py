@@ -87,11 +87,13 @@ def test_env_sharded_rollout():
     # sharding survived the scan
     assert final.agent_pos.sharding.spec[0] == "env"
 
-    # matches unsharded vmap rollout
+    # matches unsharded vmap rollout (jit once — an eager vmap loop here
+    # re-dispatched every op per step and dominated the suite's wall time)
     states2 = jax.vmap(lambda k: pusht.reset(P_, k))(keys)
+    step_j = jax.jit(jax.vmap(step_fn))
     s2 = states2
     for t in range(H):
-        s2, (o2, r2, d2) = jax.vmap(step_fn)(s2, actions[t])
+        s2, (o2, r2, d2) = step_j(s2, actions[t])
     np.testing.assert_allclose(np.asarray(obs[-1]), np.asarray(o2), atol=1e-5)
 
 
