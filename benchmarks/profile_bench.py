@@ -94,7 +94,19 @@ def main():
 
     res = {}
 
+    only = os.environ.get("PROFILE_ONLY", "")  # comma-set of substrings
+    # stages whose outputs feed later stages must still execute when
+    # filtered out; pure-measurement stages can be skipped entirely
+    _feeders = {"physics", "pose_dyn", "project_dyn", "bin_dyn", "prepare",
+                "merge"}
+
     def bench(name, fn, *args, **kw):
+        if only and not any(s in name for s in only.split(",")):
+            if name in _feeders:
+                log(f"[{name}] untimed (PROFILE_ONLY)")
+                return jax.jit(fn)(*args)
+            log(f"[{name}] skipped (PROFILE_ONLY)")
+            return None
         log(f"[{name}] compiling...")
         s, out = time_jitted(fn, *args, iters=iters, warmup=2, name=None)
         res[name] = round(s * 1e3, 3)

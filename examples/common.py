@@ -96,8 +96,13 @@ def camera_setup(render_size=(240, 320)) -> dict:
 
 
 def make_manipulator_splat_env(eef: bool = True, render_size=(240, 320),
-                               weld_frame_transform=None):
-    """The full demo stack (reference demo_pusht_splat.py:44-87)."""
+                               weld_frame_transform=None,
+                               robot_mesh_overlay: bool = False):
+    """The full demo stack (reference demo_pusht_splat.py:44-87).
+
+    ``robot_mesh_overlay`` additionally draws the URDF link visuals next to
+    the splats (the reference's viser mesh handles,
+    splat_handler.py:145-197)."""
     from sim_a_splat_tpu.envs import (
         ManipulatorEEFWrapper, ManipulatorSimEnv, SplatEnvWrapper,
     )
@@ -122,6 +127,7 @@ def make_manipulator_splat_env(eef: bool = True, render_size=(240, 320),
         splat_config_name=paths["splat_config_name"],
         task_assets_path=paths["task_assets_path"],
         task_assets_name=paths["task_assets_name"],
+        robot_mesh_overlay=robot_mesh_overlay,
     )
     splat_env._configure_cameras(camera_setup(render_size))
     return splat_env

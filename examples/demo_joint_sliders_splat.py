@@ -32,8 +32,12 @@ from common import log, make_manipulator_splat_env, save_ppm  # noqa: E402
 @click.option("--interactive", is_flag=True,
               help="read '<joint> <value>' lines from stdin")
 @click.option("-hz", "--control_hz", default=10, type=int)
-def main(steps, out, interactive, control_hz):
-    splat_env = make_manipulator_splat_env(eef=False)
+@click.option("--meshes", is_flag=True,
+              help="overlay URDF link meshes on the splats "
+                   "(splat_handler.py:145-197 twin)")
+def main(steps, out, interactive, control_hz, meshes):
+    splat_env = make_manipulator_splat_env(eef=False,
+                                           robot_mesh_overlay=meshes)
     num_dof = splat_env.unwrapped.num_dof
     _ = splat_env.reset(reset_to_state={
         "robot_pos": [0.0] * num_dof,

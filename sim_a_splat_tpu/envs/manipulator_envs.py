@@ -122,11 +122,24 @@ class ManipulatorEnvF:
     # --- schema (the load-msg analogue) ---
 
     def schema(self) -> SceneSchema:
-        links = [LinkSchema(name=f"plant::{n}", robot_num=ROBOT_NUM_ROBOT)
-                 for n in self.chain.link_names]
+        from sim_a_splat_tpu.messaging import GeomSchema
+        from sim_a_splat_tpu.scenegraph.mesh_overlay import geom_of_visual
+
+        links = []
+        for i, n in enumerate(self.chain.link_names):
+            vis = self.chain.visuals[i]
+            geoms = ((geom_of_visual(n, vis),) if vis is not None else ())
+            links.append(LinkSchema(name=f"plant::{n}",
+                                    robot_num=ROBOT_NUM_ROBOT, geoms=geoms))
         if self.env_objects:
-            links.append(LinkSchema(name="plant::tblock_paper",
-                                    robot_num=ROBOT_NUM_TASK))
+            # the reference task mesh handle's fixed color
+            # (splat_handler.py:204: [0.956, 0.396, 0.365])
+            links.append(LinkSchema(
+                name="plant::tblock_paper", robot_num=ROBOT_NUM_TASK,
+                geoms=(GeomSchema(name="tblock_paper", type=4,
+                                  color=(0.956, 0.396, 0.365, 1.0),
+                                  string_data="assets/tblock_paper/"
+                                              "tblock_paper.obj"),)))
         return SceneSchema(links=tuple(links))
 
     def draw_state(self, state: ManipulatorState) -> DrawState:

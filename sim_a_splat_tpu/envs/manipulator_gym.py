@@ -73,6 +73,10 @@ class ManipulatorSimEnv(gym.Env):
             weld=weld)
         self.num_dof = chain.ndof
         self.time_step = self.env_f.time_step
+        # package root for package:// mesh URI resolution (the reference's
+        # URDF-content rewrite, splat_handler.py:146-152)
+        self.package_path = package_path
+        self.package_name = package_name
 
         self.observation_space = gym.spaces.Dict({
             "robot_joint_pos": gym.spaces.Box(-np.pi, np.pi,

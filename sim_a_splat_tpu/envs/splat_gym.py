@@ -79,6 +79,8 @@ class SplatEnvWrapper(gym.Wrapper):
         task_assets_name: Optional[str] = None,
         raster: RasterConfig = RasterConfig(tile_capacity=1024, chunk=128),
         task_splat_count: int = 2000,
+        robot_mesh_overlay: bool = False,
+        robot_mesh_splat_count: int = 600,
     ):
         super().__init__(env)
         self._raster = raster
@@ -121,6 +123,53 @@ class SplatEnvWrapper(gym.Wrapper):
             masks[TASK_MASK_KEY] = np.concatenate(
                 [np.zeros(n_scene, bool), np.ones(n_task, bool)])
             task_mask_key = TASK_MASK_KEY
+        # optional robot link-mesh overlay: URDF visuals → disk gaussians in
+        # the splat frame, added to each link's mask so they pose with the
+        # link's splats (the reference's viser trimesh handles,
+        # splat_handler.py:145-197)
+        if robot_mesh_overlay:
+            from sim_a_splat_tpu.scenegraph.mesh_overlay import visual_mesh
+
+            base_f = self.unwrapped.env_f
+            q_rest = jnp.asarray(self.joint_config, jnp.float32)
+            rest_fk = kin.fk(base_f.chain, q_rest, base_f._base())
+            robot_keys = sorted(self.link_masks,
+                                key=lambda s: (len(s), s))
+
+            def resolve(uri: str) -> Path:
+                pp = getattr(self.unwrapped, "package_path", None)
+                if uri.startswith("package://") and pp is not None:
+                    return Path(pp) / uri[len("package://"):]
+                return Path(uri)
+
+            from sim_a_splat_tpu.ops import quaternion as quat
+            j = 0
+            for i, name in enumerate(base_f.chain.link_names):
+                if name == "world":
+                    continue
+                if j >= len(robot_keys):
+                    break
+                key = robot_keys[j]
+                j += 1
+                vis = base_f.chain.visuals[i]
+                if vis is None:
+                    continue
+                mesh = visual_mesh(vis, resolve)
+                part = mesh_to_splat(mesh, n=robot_mesh_splat_count,
+                                     color=tuple(vis.color[:3]), seed=11 + i)
+                # link local → world at capture config → splat frame
+                part = part._replace(
+                    means=self.icp.apply(
+                        quat.rotate(rest_fk.q[i], part.means) + rest_fk.t[i]),
+                    quats=quat.multiply(
+                        self.icp.q, quat.multiply(rest_fk.q[i], part.quats)),
+                    log_scales=part.log_scales + jnp.log(self.icp.s),
+                )
+                n_new = part.num_gaussians
+                self.scene_splat_frame = concat_scenes(
+                    self.scene_splat_frame, part)
+                masks = {k: np.concatenate([v, np.full(n_new, k == key)])
+                         for k, v in masks.items()}
         self._masks = masks
         self._task_mask_key = task_mask_key
 

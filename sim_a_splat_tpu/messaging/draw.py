@@ -20,14 +20,46 @@ from typing import NamedTuple
 from sim_a_splat_tpu.ops.transforms import SE3
 
 
+# geometry type codes — the drake lcmt_viewer_geometry_data enum values the
+# reference's Geom adapter consumes (messaging/geom.py:6-48)
+GEOM_BOX = 1
+GEOM_SPHERE = 2
+GEOM_CYLINDER = 3
+GEOM_MESH = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class GeomSchema:
+    """Static declaration of one visual geometry attached to a link — the
+    ``lcmt_viewer_geometry_data`` / ``Geom`` analogue (reference
+    messaging/geom.py:6-48: name, position, quaternion, color + the
+    underlying message's type/string_data/float_data).
+
+    ``position``/``quaternion`` are the geometry's fixed offset in the LINK
+    frame; ``float_data`` carries the primitive dimensions (box x/y/z,
+    sphere r, cylinder r/l) or the mesh scale; ``string_data`` is the mesh
+    path for GEOM_MESH."""
+
+    name: str
+    type: int                       # GEOM_* code
+    position: tuple = (0.0, 0.0, 0.0)
+    quaternion: tuple = (1.0, 0.0, 0.0, 0.0)   # wxyz
+    color: tuple = (0.7, 0.7, 0.7, 1.0)        # rgba
+    string_data: str = ""
+    float_data: tuple = ()
+
+
 @dataclasses.dataclass(frozen=True)
 class LinkSchema:
     """Static declaration of one drawable body (``lcmt_viewer_link_data``
     analogue; messaging/link.py:8-33).  ``robot_num`` keeps the reference's
-    model-instance numbering (robot=3, task object=2; splat_handler.py:58)."""
+    model-instance numbering (robot=3, task object=2; splat_handler.py:58);
+    ``geoms`` the per-link geometry records (link.py's ``num_geom`` +
+    geometry_data array)."""
 
     name: str
     robot_num: int
+    geoms: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)

@@ -77,28 +77,43 @@ def build_tile_cache_sh(means, covs, sh_coeffs, opacities, camera, config,
     return build_tile_cache(means, covs, colors, opacities, camera, config)
 
 
+def _sort_apply(keys: jnp.ndarray, payload: jnp.ndarray) -> jnp.ndarray:
+    """Reorder ``payload`` (T, K, C) rows by ascending ``keys`` (T, K) int,
+    using one multi-operand ``lax.sort`` — the fast way to apply a known
+    permutation on TPU.  Round-1 profiling: a (T, 1152)-row
+    ``take_along_axis`` gather costs ~9 ms/env on v5e while the equivalent
+    11-operand sort costs <1 ms/env; XLA's TPU gather lowering is the
+    single worst primitive in this pipeline, so permutations are applied
+    by sort everywhere."""
+    cols = tuple(payload[..., i] for i in range(payload.shape[-1]))
+    out = lax.sort((keys,) + cols, dimension=1, num_keys=1)
+    return jnp.stack(out[1:], axis=-1)
+
+
 @jax.custom_vjp
-def _permute_rows(payload, perm, inv):
-    """Row-wise permutation gather: ``out[t, k] = payload[t, perm[t, k]]``.
+def _permute_rows(payload, dest):
+    """out[t, dest[t, s], :] = payload[t, s, :] for a permutation ``dest``.
 
-    ``inv`` is the inverse permutation (``inv[t, perm[t, k]] == k``); the
-    exact VJP of a permutation gather is a gather by the inverse — never
-    the (T·K)-row scatter-add XLA emits for a gather transpose, which is
-    the backward-pass bottleneck on TPU (round-1 profile: the sort-based
-    merge's backward was 72 ms of the 153 ms batch step)."""
-    return jnp.take_along_axis(payload, perm[..., None], axis=1)
-
-
-def _permute_rows_fwd(payload, perm, inv):
-    return _permute_rows(payload, perm, inv), inv
+    Forward: sort payload rows by ``dest``.  Backward: the exact VJP is
+    ``grad[t, s] = ct[t, dest[t, s]]`` — applied as one int sort (inverting
+    ``dest``) plus one sort of the cotangents, never a gather or the
+    scatter-add XLA emits for a gather transpose (both are backward-pass
+    bottlenecks on TPU)."""
+    return _sort_apply(dest, payload)
 
 
-def _permute_rows_bwd(inv, ct):
+def _permute_rows_fwd(payload, dest):
+    return _sort_apply(dest, payload), dest
+
+
+def _permute_rows_bwd(dest, ct):
     import numpy as _np
 
-    grad = jnp.take_along_axis(ct, inv[..., None], axis=1)
-    zero_int = _np.zeros(inv.shape, jax.dtypes.float0)
-    return grad, zero_int, zero_int
+    K = dest.shape[1]
+    iota = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), dest.shape)
+    _, inv = lax.sort((dest, iota), dimension=1, num_keys=1)
+    grad = _sort_apply(inv, ct)
+    return grad, _np.zeros(dest.shape, jax.dtypes.float0)
 
 
 _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
@@ -115,10 +130,10 @@ def merge_sorted_lists(static: TileCache, dyn: TileCache) -> TileCache:
         pos_static[i] = i + #{j : dkey[j] <  skey[i]}
         pos_dyn[j]    = j + #{i : skey[i] <= dkey[j]}
 
-    with keys = depth (+inf for inactive).  One (Ks × Kd) compare-reduce
-    gives both counts, one 2-operand int sort inverts the position map,
-    and one row gather (:func:`_permute_rows`, gather-only backward)
-    produces the merged payload.
+    with keys = depth (+inf for inactive).  Two lane-axis compare-reduces
+    give the counts; the resulting destination permutation is applied by
+    :func:`_permute_rows` (sort-apply forward, int-sort + sort-apply
+    backward — no gathers, no scatters, see `_sort_apply`).
     """
     def cat(a, b):
         return jnp.concatenate([a, b], axis=1)
@@ -142,10 +157,6 @@ def merge_sorted_lists(static: TileCache, dyn: TileCache) -> TileCache:
     pos_d = jnp.arange(Kd, dtype=jnp.int32)[None, :] + cnt_s
     dest = cat(pos_s, pos_d)                               # (T, K) src → dst
 
-    K = Ks + Kd
-    iota = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), dest.shape)
-    _, perm = lax.sort((dest, iota), dimension=1, num_keys=1)  # dst → src
-
     gop = cat(static.gop, dyn.gop)
     gdepth = cat(static.gdepth, dyn.gdepth)
     payload = jnp.concatenate([
@@ -154,7 +165,7 @@ def merge_sorted_lists(static: TileCache, dyn: TileCache) -> TileCache:
         cat(static.gcol, dyn.gcol),
         gop[..., None], gdepth[..., None],
     ], axis=-1)                                            # (T, K, 10)
-    merged = _permute_rows(payload, perm, dest)
+    merged = _permute_rows(payload, dest)
     return TileCache(
         gxy=merged[..., 0:2],
         gconic=merged[..., 2:5],

@@ -43,12 +43,20 @@ JOINT_PRISMATIC = 2
 
 @dataclasses.dataclass(frozen=True)
 class VisualInfo:
-    """Host-side visual geometry metadata (for the offline match pipeline)."""
+    """Host-side visual geometry metadata (offline match pipeline + the
+    Geom-schema / mesh-overlay path).  ``geom_type`` ∈ {"mesh", "box",
+    "cylinder", "sphere"}; ``size`` carries the primitive dimensions (box
+    x/y/z, cylinder (radius, length), sphere (radius,)); ``color`` is the
+    URDF material rgba (defaults to the reference's LightSlateGray-ish
+    grey)."""
 
     mesh_path: str | None
     origin_xyz: tuple
     origin_rpy: tuple
     scale: tuple
+    geom_type: str = "mesh"
+    size: tuple = ()
+    color: tuple = (0.7, 0.7, 0.7, 1.0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,21 +135,63 @@ def load_chain(urdf_path: str | Path, root: str | None = None) -> KinematicChain
     tree = ET.parse(str(urdf_path))
     robot = tree.getroot()
 
+    # named materials declared at robot level (URDF allows color reuse)
+    mat_colors: dict[str, tuple] = {}
+    for m in robot.findall("material"):
+        c = m.find("color")
+        if m.get("name") and c is not None:
+            mat_colors[m.get("name")] = tuple(
+                np.fromstring(c.get("rgba", "0.7 0.7 0.7 1"), sep=" "))
+
     links = [l.get("name") for l in robot.findall("link")]
     visual_by_link: dict[str, VisualInfo | None] = {}
     for l in robot.findall("link"):
         vis = l.find("visual")
         info = None
         if vis is not None:
-            geo = vis.find("geometry/mesh")
             rpy, xyz = _rpy_xyz(vis.find("origin"))
-            scale = np.fromstring(
-                geo.get("scale", "1 1 1"), sep=" ") if geo is not None else np.ones(3)
-            info = VisualInfo(
-                mesh_path=geo.get("filename") if geo is not None else None,
-                origin_xyz=tuple(xyz), origin_rpy=tuple(rpy),
-                scale=tuple(scale),
-            )
+            color = (0.7, 0.7, 0.7, 1.0)
+            mat = vis.find("material")
+            if mat is not None:
+                c = mat.find("color")
+                if c is not None:
+                    color = tuple(np.fromstring(
+                        c.get("rgba", "0.7 0.7 0.7 1"), sep=" "))
+                elif mat.get("name") in mat_colors:
+                    color = mat_colors[mat.get("name")]
+            geo = vis.find("geometry/mesh")
+            box = vis.find("geometry/box")
+            cyl = vis.find("geometry/cylinder")
+            sph = vis.find("geometry/sphere")
+            if geo is not None:
+                scale = np.fromstring(geo.get("scale", "1 1 1"), sep=" ")
+                info = VisualInfo(
+                    mesh_path=geo.get("filename"),
+                    origin_xyz=tuple(xyz), origin_rpy=tuple(rpy),
+                    scale=tuple(scale), geom_type="mesh", color=color)
+            elif box is not None:
+                info = VisualInfo(
+                    mesh_path=None, origin_xyz=tuple(xyz),
+                    origin_rpy=tuple(rpy), scale=(1.0, 1.0, 1.0),
+                    geom_type="box",
+                    size=tuple(np.fromstring(box.get("size", "1 1 1"),
+                                             sep=" ")),
+                    color=color)
+            elif cyl is not None:
+                info = VisualInfo(
+                    mesh_path=None, origin_xyz=tuple(xyz),
+                    origin_rpy=tuple(rpy), scale=(1.0, 1.0, 1.0),
+                    geom_type="cylinder",
+                    size=(float(cyl.get("radius", "0.05")),
+                          float(cyl.get("length", "0.1"))),
+                    color=color)
+            elif sph is not None:
+                info = VisualInfo(
+                    mesh_path=None, origin_xyz=tuple(xyz),
+                    origin_rpy=tuple(rpy), scale=(1.0, 1.0, 1.0),
+                    geom_type="sphere",
+                    size=(float(sph.get("radius", "0.05")),),
+                    color=color)
         visual_by_link[l.get("name")] = info
 
     joints = []

@@ -158,3 +158,37 @@ def icosphere(subdivisions: int = 1) -> TriMesh:
         v = np.asarray(nv)
         f = np.asarray(nf)
     return TriMesh(v, f)
+
+
+def box_mesh(sx: float, sy: float, sz: float) -> TriMesh:
+    """Axis-aligned box centered at the origin (URDF <box size=.../>)."""
+    hx, hy, hz = sx / 2.0, sy / 2.0, sz / 2.0
+    v = np.asarray([[x, y, z] for x in (-hx, hx) for y in (-hy, hy)
+                    for z in (-hz, hz)], np.float64)
+    f = np.asarray([
+        [0, 1, 3], [0, 3, 2],          # -x
+        [4, 6, 7], [4, 7, 5],          # +x
+        [0, 4, 5], [0, 5, 1],          # -y
+        [2, 3, 7], [2, 7, 6],          # +y
+        [0, 2, 6], [0, 6, 4],          # -z
+        [1, 5, 7], [1, 7, 3],          # +z
+    ], np.int64)
+    return TriMesh(v, f)
+
+
+def cylinder_mesh(radius: float, length: float, segments: int = 24) -> TriMesh:
+    """Z-axis cylinder centered at the origin (URDF <cylinder .../>)."""
+    ang = 2.0 * np.pi * np.arange(segments) / segments
+    ring = np.stack([radius * np.cos(ang), radius * np.sin(ang)], -1)
+    lo = np.concatenate([ring, np.full((segments, 1), -length / 2.0)], -1)
+    hi = np.concatenate([ring, np.full((segments, 1), length / 2.0)], -1)
+    v = np.concatenate([lo, hi,
+                        [[0.0, 0.0, -length / 2.0]],
+                        [[0.0, 0.0, length / 2.0]]])
+    cb, ct = 2 * segments, 2 * segments + 1
+    f = []
+    for i in range(segments):
+        j = (i + 1) % segments
+        f += [[i, j, segments + i], [j, segments + j, segments + i]]  # side
+        f += [[cb, j, i], [ct, segments + i, segments + j]]           # caps
+    return TriMesh(v, np.asarray(f, np.int64))
