@@ -33,12 +33,17 @@ def main():
     from sim_a_splat_tpu.ops.rasterize_tiles import RasterConfig
     from sim_a_splat_tpu.physics import pusht
 
-    B = int(os.environ.get("BENCH_B", "8"))
+    # B=32 from the round-2 batch sweep: 8 → 106 f/s, 32 → 154, 64 → 134
+    # (per-step static prepare amortizes; 64 regresses on HBM pressure)
+    B = int(os.environ.get("BENCH_B", "32"))
     N = int(os.environ.get("BENCH_N", "100000"))
     RES = int(os.environ.get("BENCH_RES", "256"))
     ITERS = int(os.environ.get("BENCH_ITERS", "10"))
     use_cache = os.environ.get("BENCH_CACHE", "1") != "0"
     fwd_only = os.environ.get("BENCH_FWDONLY", "0") != "0"
+    variants = os.environ.get("BENCH_VARIANTS", "1") != "0"
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    t_start = time.time()
 
     dev = jax.devices()[0]
     log(f"bench: device={dev.platform}/{dev.device_kind} B={B} N={N} "
@@ -60,60 +65,98 @@ def main():
                           fast_gather_vjp=fastvjp,
                           term_eps=term if term > 0 else None)
 
-    keys = jax.random.split(jax.random.key(0), B)
-    actions = jnp.tile(jnp.asarray([150.0, 250.0], jnp.float32), (B, 1))
+    dyn_cap = int(os.environ.get("BENCH_DYN_CAP", "128"))
+    dyn_m = int(os.environ.get("BENCH_DYN_M", "9"))
+    skip = os.environ.get("BENCH_SKIP", "1") != "0"
 
-    if use_cache:
-        # production env path: static background projected + binned once per
-        # train step (shared across the batch), per-env work is dynamic-only
-        dyn_cap = int(os.environ.get("BENCH_DYN_CAP", "128"))
-        dyn_m = int(os.environ.get("BENCH_DYN_M", "9"))
-        skip = os.environ.get("BENCH_SKIP", "1") != "0"
-        prepare, step_c, P = _make_step_cached(
-            graph, RES, RES, raster, dyn_capacity=dyn_cap,
-            static_skip=skip, dyn_max_tiles=dyn_m)
+    def measure(label, graph_, cached, iters, nb=B):
+        """Compile + time one configuration; returns frames/s."""
+        keys = jax.random.split(jax.random.key(0), nb)
+        actions = jnp.tile(jnp.asarray([150.0, 250.0], jnp.float32), (nb, 1))
+        if cached:
+            # production env path: static background projected + binned once
+            # per train step (shared across the batch); per-env work is
+            # dynamic-only, untouched tiles reuse the static composite
+            prepare, step_c, P = _make_step_cached(
+                graph_, RES, RES, raster, dyn_capacity=dyn_cap,
+                static_skip=skip, dyn_max_tiles=dyn_m)
 
-        def loss_of(scene, states, actions):
-            cache = prepare(scene)
-            new_states, imgs = jax.vmap(
-                lambda s, a: step_c(cache, scene, s, a))(states, actions)
-            return jnp.mean(imgs ** 2), new_states
-    else:
-        step, P = _make_step(graph, RES, RES, raster)
+            def loss_of(scene, states, actions):
+                cache = prepare(scene)
+                new_states, imgs = jax.vmap(
+                    lambda s, a: step_c(cache, scene, s, a))(states, actions)
+                return jnp.mean(imgs ** 2), new_states
+        else:
+            step, P = _make_step(graph_, RES, RES, raster)
 
-        def loss_of(scene, states, actions):
-            new_states, imgs = jax.vmap(
-                lambda s, a: step(scene, s, a))(states, actions)
-            return jnp.mean(imgs ** 2), new_states
+            def loss_of(scene, states, actions):
+                new_states, imgs = jax.vmap(
+                    lambda s, a: step(scene, s, a))(states, actions)
+                return jnp.mean(imgs ** 2), new_states
 
-    states = jax.vmap(lambda k: pusht.reset(P, k))(keys)
+        states = jax.jit(jax.vmap(lambda k: pusht.reset(P, k)))(keys)
 
-    if fwd_only:
-        def fwd_bwd(scene, states, actions):
-            loss, new_states = loss_of(scene, states, actions)
-            return new_states, loss, None
-    else:
-        def fwd_bwd(scene, states, actions):
-            (loss, new_states), grads = jax.value_and_grad(
-                lambda sc: loss_of(sc, states, actions), has_aux=True)(scene)
-            return new_states, loss, grads
+        if fwd_only:
+            def fwd_bwd(scene, states, actions):
+                loss, new_states = loss_of(scene, states, actions)
+                return new_states, loss, None
+        else:
+            def fwd_bwd(scene, states, actions):
+                (loss, new_states), grads = jax.value_and_grad(
+                    lambda sc: loss_of(sc, states, actions),
+                    has_aux=True)(scene)
+                return new_states, loss, grads
 
-    jitted = jax.jit(fwd_bwd, donate_argnums=(1,))
+        jitted = jax.jit(fwd_bwd, donate_argnums=(1,))
+        log(f"[{label}] compiling...")
+        t0 = time.time()
+        states, loss, grads = jitted(graph_.scene, states, actions)
+        jax.block_until_ready(loss)
+        log(f"[{label}] compiled+first step in {time.time() - t0:.1f}s, "
+            f"loss={float(loss):.5f}")
+        t0 = time.time()
+        for _ in range(iters):
+            states, loss, grads = jitted(graph_.scene, states, actions)
+        jax.block_until_ready(loss)
+        dt = time.time() - t0
+        frames = nb * iters
+        fps = frames / dt
+        log(f"[{label}] {frames} frames in {dt:.2f}s → {fps:.1f} f/s "
+            f"(ms/frame {1e3 * dt / frames:.2f})")
+        return fps
 
-    log("compiling (first call)...")
-    t0 = time.time()
-    states, loss, grads = jitted(graph.scene, states, actions)
-    jax.block_until_ready(loss)
-    log(f"compiled+first step in {time.time() - t0:.1f}s, loss={float(loss):.5f}")
+    fps = measure("primary:dc_cached", graph, use_cache, ITERS)
 
-    t0 = time.time()
-    for _ in range(ITERS):
-        states, loss, grads = jitted(graph.scene, states, actions)
-    jax.block_until_ready(loss)
-    dt = time.time() - t0
+    # representative-config variants (stderr only; the reference's scenes
+    # are sh_degree 3 classic — divar config.yml:200-204 — and moving
+    # link-attached cameras cannot use the static cache)
+    if variants:
+        try:
+            if time.time() - t_start < budget_s:
+                g3 = _build_scene(n_bg=N - n_block - n_agent,
+                                  n_block=n_block, n_agent=n_agent, seed=0,
+                                  sh_degree=3)
+                fps3 = measure("variant:sh3_cached", g3, True, max(ITERS // 2, 3))
+                log(f'variant {{"metric": "sh_degree3_cached_{RES}x{RES}_'
+                    f'fwdbwd", "value": {round(fps3, 2)}, '
+                    f'"unit": "frames/s/chip"}}')
+            else:
+                log("variant sh3 skipped: over time budget")
+            if time.time() - t_start < budget_s:
+                # the plain path poses ALL N gaussians per env; its
+                # (B, N, 3, 3) covariance temps get a T(4,128) layout that
+                # pads 57× on TPU, OOMing past B≈8 at N=100k — run the
+                # variant at the largest batch that fits
+                fpsm = measure("variant:nocache_moving", graph, False,
+                               max(ITERS // 2, 3), nb=min(B, 8))
+                log(f'variant {{"metric": "moving_camera_full_rebin_'
+                    f'{RES}x{RES}_fwdbwd", "value": {round(fpsm, 2)}, '
+                    f'"unit": "frames/s/chip", "B": {min(B, 8)}}}')
+            else:
+                log("variant nocache skipped: over time budget")
+        except Exception as e:       # variants must never break the metric
+            log(f"variant failed: {e!r}")
 
-    frames = B * ITERS
-    fps = frames / dt
     target_per_chip = 10_000 / 16.0
     result = {
         "metric": f"pusht_splat_env_frames_per_s_per_chip_{RES}x{RES}_fwdbwd",
@@ -121,8 +164,6 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / target_per_chip, 4),
     }
-    log(f"steady: {frames} frames in {dt:.2f}s → {fps:.1f} f/s "
-        f"(ms/frame {1e3 * dt / frames:.2f})")
     print(json.dumps(result), flush=True)
 
 
