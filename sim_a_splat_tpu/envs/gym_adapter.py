@@ -30,10 +30,6 @@ class PushTEnv(gym.Env):
                  render_action=True, render_size=96, reset_to_state=None,
                  obs_mode="state", keypoint_visible_rate=1.0,
                  agent_keypoints=False, local_keypoint_map=None, seed=None):
-        if block_cog is not None:
-            raise NotImplementedError(
-                "block_cog override is not supported (reference default is "
-                "the shape-derived CoG, pusht_env.py:97-99)")
         self.env_f = PushTEnvF(
             params=PushTParams(),
             obs_mode=obs_mode,
@@ -44,6 +40,8 @@ class PushTEnv(gym.Env):
             render_action=render_action,
             local_keypoint_map=local_keypoint_map,
             damping=damping,
+            block_cog=None if block_cog is None else tuple(
+                np.asarray(block_cog, np.float64).tolist()),
         )
         p = self.env_f._params()
         ws_x, ws_y = p.ws_x, p.ws_y

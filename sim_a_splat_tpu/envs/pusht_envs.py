@@ -53,12 +53,16 @@ class PushTEnvF:
     render_action: bool = True
     local_keypoint_map: Optional[dict] = None
     damping: Optional[float] = None
+    block_cog: Optional[tuple] = None
     max_episode_steps: int = 200      # registration default (pusht __init__.py)
 
     def _params(self) -> PushTParams:
+        p = self.params
         if self.damping is not None:
-            return dataclasses.replace(self.params, damping=self.damping)
-        return self.params
+            p = dataclasses.replace(p, damping=self.damping)
+        if self.block_cog is not None:
+            p = dataclasses.replace(p, block_cog=tuple(self.block_cog))
+        return p
 
     def _kp_map(self) -> dict:
         if self.local_keypoint_map is not None:

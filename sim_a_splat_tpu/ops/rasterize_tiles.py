@@ -71,7 +71,11 @@ class RasterAux(NamedTuple):
 
 
 def _bin_gaussians(proj: Projected, config: RasterConfig, tx: int, ty: int):
-    """(tile, depth)-sorted gaussian ids + per-tile segment starts/counts."""
+    """(tile, depth)-sorted gaussian ids + per-tile segment starts/counts.
+
+    ``sorted_slot`` (the flat emission-slot order, needed only by the
+    sort-based ``fast_gather_vjp`` backward) is carried through the sort
+    only when that path is on — one fewer 32-bit operand otherwise."""
     ts = config.tile_size
     M = config.max_tiles_per_gaussian
     T = tx * ty
@@ -95,12 +99,18 @@ def _bin_gaussians(proj: Projected, config: RasterConfig, tx: int, ty: int):
 
     depth_b = jnp.broadcast_to(proj.depth[:, None], (N, M))
     gidx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, M))
-    slot = jnp.arange(N * M, dtype=jnp.int32)
-
-    sorted_tile, _, sorted_gidx, sorted_slot = lax.sort(
-        (tile.reshape(-1), depth_b.reshape(-1), gidx.reshape(-1), slot),
-        num_keys=2,
-    )
+    if config.fast_gather_vjp:
+        slot = jnp.arange(N * M, dtype=jnp.int32)
+        sorted_tile, _, sorted_gidx, sorted_slot = lax.sort(
+            (tile.reshape(-1), depth_b.reshape(-1), gidx.reshape(-1), slot),
+            num_keys=2,
+        )
+    else:
+        sorted_tile, _, sorted_gidx = lax.sort(
+            (tile.reshape(-1), depth_b.reshape(-1), gidx.reshape(-1)),
+            num_keys=2,
+        )
+        sorted_slot = None
 
     tids = jnp.arange(T, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_tile, tids, side="left")

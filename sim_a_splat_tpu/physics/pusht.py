@@ -53,19 +53,38 @@ class PushTParams:
     scale: float = 30.0
     length: float = 4.0
     mass: float = 1.0
-    friction: float = 1.0
+    # Contact friction.  The reference sets ``body.friction = 1``
+    # (pusht_env.py:383, :436) but pymunk friction lives on *shapes*
+    # (Chipmunk ``cpShape->u``, combined as u_a·u_b) and the shapes are never
+    # touched — so every contact in the reference is actually frictionless.
+    # 0.0 reproduces that; set >0 to model sticky pushing.
+    friction: float = 0.0
     damping: float = 0.0          # pymunk space.damping (0 in the reference)
     goal_x: float = 149.0         # ws_x / 2
     goal_y: float = 256.0         # ws_y / 2
     goal_theta: float = float(np.pi / 4)
     success_threshold: float = 0.95
     solver_iters: int = 10
-    bias: float = 0.2
+    # Penetration-correction coefficient.  None -> Chipmunk's default
+    # schedule: biasCoef(dt) = 1 - collisionBias**dt with
+    # collisionBias = (1-0.1)**60 ("fix 10% of overlap per 1/60 s"),
+    # i.e. ~0.0613 at dt = 0.01 (cpSpaceStep semantics).
+    bias: float | None = None
     slop: float = 0.1
+    # Optional body-local CoG override (pusht_env.py:97-99 sets
+    # ``body.center_of_gravity``; Chipmunk keeps the explicitly-set moment,
+    # only the pivot point moves).  None -> shape-derived CoG.
+    block_cog: tuple | None = None
 
     @property
     def dt(self) -> float:
         return 1.0 / self.sim_hz
+
+    @property
+    def bias_coef(self) -> float:
+        if self.bias is not None:
+            return self.bias
+        return 1.0 - (1.0 - 0.1) ** (60.0 * self.dt)
 
     @property
     def substeps(self) -> int:
@@ -109,6 +128,14 @@ def tee_cog_local(scale: float = 30.0, length: float = 4.0) -> np.ndarray:
     return polys.mean(axis=1).mean(axis=0)  # box centroid = vertex mean
 
 
+def cog_local(params: PushTParams) -> np.ndarray:
+    """Body-local CoG: the ``block_cog`` override if set (pusht_env.py:97-99),
+    else the shape-derived default."""
+    if params.block_cog is not None:
+        return np.asarray(params.block_cog, np.float32)
+    return tee_cog_local(params.scale, params.length)
+
+
 def tee_inertia(params: PushTParams) -> float:
     """mass=1, I = moment(verts1) + moment(verts1) — reference quirk
     (pusht_env.py:409-417 computes ``inertia2`` from ``vertices1``)."""
@@ -124,12 +151,12 @@ def block_polys_world(params: PushTParams, pos, angle) -> jnp.ndarray:
 
 
 def block_cog_world(params: PushTParams, pos, angle) -> jnp.ndarray:
-    cog = jnp.asarray(tee_cog_local(params.scale, params.length))
+    cog = jnp.asarray(cog_local(params))
     return pos + rot2d(angle) @ cog
 
 
 def _origin_from_cog(params: PushTParams, cog, angle) -> jnp.ndarray:
-    c = jnp.asarray(tee_cog_local(params.scale, params.length))
+    c = jnp.asarray(cog_local(params))
     return cog - rot2d(angle) @ c
 
 
@@ -206,7 +233,8 @@ def substep(params: PushTParams, state: PushTState,
     inv_i = 1.0 / tee_inertia(params)
     v, w, vb, wb, jn = solve_contacts(
         body, contacts, inv_m, inv_i, dt,
-        iterations=params.solver_iters, bias=params.bias, slop=params.slop)
+        iterations=params.solver_iters, bias=params.bias_coef,
+        slop=params.slop)
 
     new_cog = body.cog + (v + vb) * dt
     new_angle = body.angle + (w + wb) * dt
@@ -288,7 +316,7 @@ def set_state(params: PushTParams, state_vec: jnp.ndarray,
     angle = state_vec[4]
     if legacy:
         cog0 = block_pos + rot2d(jnp.zeros_like(angle)) @ jnp.asarray(
-            tee_cog_local(params.scale, params.length))
+            cog_local(params))
         block_pos = _origin_from_cog(params, cog0, angle)
     zero2 = jnp.zeros_like(agent_pos)
     state = PushTState(

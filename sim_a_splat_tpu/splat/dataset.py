@@ -68,7 +68,10 @@ class SplatDataset:
     cy: np.ndarray
     width: np.ndarray                 # (N,) int
     height: np.ndarray
-    dataparser: Sim3 = Sim3.identity()
+    # default built lazily: a jnp-valued class default would initialize the
+    # XLA backend at import time (breaking jax.distributed.initialize, which
+    # must run before any backend use)
+    dataparser: Sim3 = dataclasses.field(default_factory=Sim3.identity)
 
     def __len__(self) -> int:
         return len(self.image_filenames)

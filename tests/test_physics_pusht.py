@@ -136,6 +136,30 @@ def test_off_center_push_rotates_block():
     assert abs(float(st.block_angle)) > 0.05
 
 
+def test_block_cog_override_changes_rotation():
+    """block_cog ctor override (reference pusht_env.py:97-99): moving the
+    pivot point changes the torque of the same off-center push."""
+    import dataclasses as dc
+    # same local CoG as default → identical trajectory
+    p_same = dc.replace(P, block_cog=tuple(
+        np.asarray(pusht.tee_cog_local(P.scale, P.length), np.float64)))
+    # CoG shifted to the crossbar's left end → different rotation
+    p_shift = dc.replace(P, block_cog=(-50.0, 15.0))
+    vec = jnp.asarray([80.0, 270.0, 149.0, 256.0, 0.0], jnp.float32)
+
+    def rollout(params):
+        st = pusht.set_state(params, vec)
+        step = jax.jit(lambda s, a: pusht.control_step(params, s, a))
+        for i in range(15):
+            st = step(st, jnp.asarray([80.0 + 6.0 * i, 270.0]))
+        return st
+
+    base, same, shift = rollout(P), rollout(p_same), rollout(p_shift)
+    np.testing.assert_allclose(float(same.block_angle),
+                               float(base.block_angle), atol=1e-5)
+    assert abs(float(shift.block_angle) - float(base.block_angle)) > 0.02
+
+
 def test_walls_contain_block():
     # bulldoze the block into the left wall for 5 s: no tunneling
     st = settled(agent=(200.0, 256.0), block=(120.0, 256.0), angle=0.0)

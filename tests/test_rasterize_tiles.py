@@ -80,6 +80,32 @@ def test_gradients_match_reference():
                                    atol=1e-5, rtol=5e-3)
 
 
+def test_fast_gather_vjp_matches_default():
+    """The sort-based gather VJP (fast_gather_vjp=True) must agree with the
+    default scatter-transpose path on image and gradients."""
+    scene, covs0, colors, opac = scene_inputs(n=80, seed=7)
+    cam = make_camera(width=24, height=24)
+    target = jnp.ones((24, 24, 3)) * 0.4
+    cfg_fast = CFG._replace(fast_gather_vjp=True)
+
+    def loss(cfg):
+        def f(means, covs, colors, opac):
+            img, _ = rasterize(means, covs, colors, opac, cam, cfg)
+            return jnp.mean((img - target) ** 2)
+        return f
+
+    args = (scene.means, covs0, colors, opac)
+    img_a, _ = rasterize(*args, cam, CFG)
+    img_b, _ = rasterize(*args, cam, cfg_fast)
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_a),
+                               atol=1e-6)
+    g_a = jax.grad(loss(CFG), argnums=(0, 1, 2, 3))(*args)
+    g_b = jax.grad(loss(cfg_fast), argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(g_a, g_b):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-6, rtol=1e-4)
+
+
 def test_sh_path_matches_reference():
     from sim_a_splat_tpu.ops.rasterize_reference import render_reference_sh
 
