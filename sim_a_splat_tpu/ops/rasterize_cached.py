@@ -119,6 +119,15 @@ def _permute_rows_bwd(dest, ct):
 _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
+def _pack_payload(c: TileCache) -> jnp.ndarray:
+    """TileCache → (T, 10, K) field-major payload (the pallas kernels' input
+    layout, rows [x, y, conic a b c, r, g, b, depth, opacity])."""
+    payload = jnp.concatenate([
+        c.gxy, c.gconic, c.gcol, c.gdepth[..., None], c.gop[..., None],
+    ], axis=-1)
+    return jnp.swapaxes(payload, 1, 2)
+
+
 def merge_sorted_lists(static: TileCache, dyn: TileCache) -> TileCache:
     """Merge two depth-sorted per-tile list sets into one.
 
@@ -231,12 +240,36 @@ def rasterize_with_cache(
     (dxy, dconic, dcol, dop, ddep), dcounts, dtrunc = gather_tile_lists(
         proj, dyn_colors, dyn_opacities, dyn_cfg, tx, ty)
     dyn = TileCache(dxy, dconic, dcol, dop, ddep, dcounts)
-    merged = merge_sorted_lists(cache, dyn)
 
-    rgb, depth_acc, trans = composite_dispatch(
-        merged.gxy, merged.gconic, merged.gcol, merged.gop, merged.gdepth,
-        config, tx, counts=merged.counts,
-        skip=dcounts if static_composite is not None else None)
+    use_fused = (
+        config.fused_pair
+        and config.backend in ("pallas", "pallas_interpret")
+        and cache.gxy.shape[1] % 128 == 0 and dyn_capacity % 128 == 0
+    )
+    if use_fused:
+        # merge-free interleaved kernel: composites the shared static lists
+        # and the per-env dynamic lists jointly (ops/pallas_composite_pair),
+        # never materializing the merged (T, Ks+Kd, 10) lists in HBM
+        from sim_a_splat_tpu.ops.pallas_composite_pair import (
+            composite_pallas_pair,
+        )
+        skip = (dcounts if static_composite is not None
+                else jnp.ones((T,), jnp.int32))
+        out = composite_pallas_pair(
+            _pack_payload(cache), _pack_payload(dyn),
+            cache.counts.astype(jnp.int32), dcounts.astype(jnp.int32),
+            skip.astype(jnp.int32), config.tile_size, tx,
+            config.sigma_cutoff, config.backend == "pallas_interpret",
+            config.term_eps)
+        rgb, depth_acc, trans = out[..., 0:3], out[..., 3], out[..., 4]
+        merged_counts = cache.counts + dcounts
+    else:
+        merged = merge_sorted_lists(cache, dyn)
+        rgb, depth_acc, trans = composite_dispatch(
+            merged.gxy, merged.gconic, merged.gcol, merged.gop,
+            merged.gdepth, config, tx, counts=merged.counts,
+            skip=dcounts if static_composite is not None else None)
+        merged_counts = merged.counts
     if static_composite is not None:
         s_rgb, s_depth, s_trans = static_composite
         touched = dcounts > 0
@@ -253,7 +286,7 @@ def rasterize_with_cache(
 
     K_static = cache.gxy.shape[1]
     aux = RasterAux(
-        tile_counts=merged.counts,
+        tile_counts=merged_counts,
         n_overflowed_tiles=jnp.sum(
             (cache.counts > K_static) | (dcounts > dyn_capacity)),
         n_slot_truncated=dtrunc,

@@ -58,6 +58,7 @@ class RasterConfig(NamedTuple):
     fast_gather_vjp: bool = False  # sort-based custom VJP (XLA scatter wins on TPU)
     backend: str = "xla"           # compositing: "xla" | "pallas" | "pallas_interpret"
     term_eps: Optional[float] = None  # pallas early-stop transmittance (gsplat: 1e-4)
+    fused_pair: bool = True        # cached path: merge-free interleaved kernel
 
 
 class RasterAux(NamedTuple):
