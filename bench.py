@@ -29,7 +29,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _build_scene, _make_step, _make_step_cached
+    from __graft_entry__ import (
+        _build_scene, _make_step, _make_step_cached, _make_step_moving,
+    )
     from sim_a_splat_tpu.ops.rasterize_tiles import RasterConfig
     from sim_a_splat_tpu.physics import pusht
 
@@ -58,11 +60,9 @@ def main():
         "pallas" if dev.platform == "tpu" else "xla")
     cap = int(os.environ.get("BENCH_TILE_CAP", "1024"))
     term = float(os.environ.get("BENCH_TERM", "1e-4"))  # gsplat's stop eps
-    fastvjp = os.environ.get("BENCH_FASTVJP", "0") != "0"
     raster = RasterConfig(tile_size=16, tile_capacity=cap,
                           max_tiles_per_gaussian=16, chunk=128,
                           sigma_cutoff=3.0, backend=backend,
-                          fast_gather_vjp=fastvjp,
                           term_eps=term if term > 0 else None)
 
     dyn_cap = int(os.environ.get("BENCH_DYN_CAP", "128"))
@@ -70,10 +70,23 @@ def main():
     skip = os.environ.get("BENCH_SKIP", "1") != "0"
 
     def measure(label, graph_, cached, iters, nb=B):
-        """Compile + time one configuration; returns frames/s."""
+        """Compile + time one configuration; returns frames/s.
+
+        ``cached`` ∈ {True, False, "moving"}: True = static-tile-cache path
+        (fixed camera), False = plain full-rebin fixed camera, "moving" =
+        per-env agent-attached camera (full rebin, bucketed binning)."""
         keys = jax.random.split(jax.random.key(0), nb)
         actions = jnp.tile(jnp.asarray([150.0, 250.0], jnp.float32), (nb, 1))
-        if cached:
+        if cached == "moving":
+            mv_raster = raster._replace(
+                buckets=((4, 0.55), (9, 0.30), (16, 0.15)))
+            step, P = _make_step_moving(graph_, RES, RES, mv_raster)
+
+            def loss_of(scene, states, actions):
+                new_states, imgs = jax.vmap(
+                    lambda s, a: step(scene, s, a))(states, actions)
+                return jnp.mean(imgs ** 2), new_states
+        elif cached:
             # production env path: static background projected + binned once
             # per train step (shared across the batch); per-env work is
             # dynamic-only, untouched tiles reuse the static composite
@@ -125,41 +138,40 @@ def main():
             f"(ms/frame {1e3 * dt / frames:.2f})")
         return fps
 
-    fps = measure("primary:dc_cached", graph, use_cache, ITERS)
+    # PRIMARY = the honest config: sh_degree 3 (every reference scene is
+    # sh_degree 3 / classic, divar config.yml:200-204), static-cache path.
+    g3 = _build_scene(n_bg=N - n_block - n_agent, n_block=n_block,
+                      n_agent=n_agent, seed=0, sh_degree=3)
+    fps = measure("primary:sh3_cached", g3, use_cache, ITERS)
 
-    # representative-config variants (stderr only; the reference's scenes
-    # are sh_degree 3 classic — divar config.yml:200-204 — and moving
-    # link-attached cameras cannot use the static cache)
+    # representative-config variants (stderr only)
     if variants:
         try:
             if time.time() - t_start < budget_s:
-                g3 = _build_scene(n_bg=N - n_block - n_agent,
-                                  n_block=n_block, n_agent=n_agent, seed=0,
-                                  sh_degree=3)
-                fps3 = measure("variant:sh3_cached", g3, True, max(ITERS // 2, 3))
-                log(f'variant {{"metric": "sh_degree3_cached_{RES}x{RES}_'
-                    f'fwdbwd", "value": {round(fps3, 2)}, '
+                fps0 = measure("variant:dc_cached", graph, True,
+                               max(ITERS // 2, 3))
+                log(f'variant {{"metric": "dc_only_cached_{RES}x{RES}_'
+                    f'fwdbwd", "value": {round(fps0, 2)}, '
                     f'"unit": "frames/s/chip"}}')
             else:
-                log("variant sh3 skipped: over time budget")
+                log("variant dc skipped: over time budget")
             if time.time() - t_start < budget_s:
-                # the plain path poses ALL N gaussians per env; its
-                # (B, N, 3, 3) covariance temps get a T(4,128) layout that
-                # pads 57× on TPU, OOMing past B≈8 at N=100k — run the
-                # variant at the largest batch that fits
-                fpsm = measure("variant:nocache_moving", graph, False,
-                               max(ITERS // 2, 3), nb=min(B, 8))
+                # agent-attached camera: full per-frame rebin of all N via
+                # project_raw (no covariance temps — the round-2 OOM is
+                # gone), bucketed binning
+                fpsm = measure("variant:moving_camera", g3, "moving",
+                               max(ITERS // 2, 3))
                 log(f'variant {{"metric": "moving_camera_full_rebin_'
                     f'{RES}x{RES}_fwdbwd", "value": {round(fpsm, 2)}, '
-                    f'"unit": "frames/s/chip", "B": {min(B, 8)}}}')
+                    f'"unit": "frames/s/chip", "B": {B}}}')
             else:
-                log("variant nocache skipped: over time budget")
+                log("variant moving skipped: over time budget")
         except Exception as e:       # variants must never break the metric
             log(f"variant failed: {e!r}")
 
     target_per_chip = 10_000 / 16.0
     result = {
-        "metric": f"pusht_splat_env_frames_per_s_per_chip_{RES}x{RES}_fwdbwd",
+        "metric": f"pusht_splat_env_sh3_frames_per_s_per_chip_{RES}x{RES}_fwdbwd",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / target_per_chip, 4),

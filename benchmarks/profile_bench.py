@@ -258,19 +258,6 @@ def main():
 
     bench("prepare_fb", prepare_fb, scene)
 
-    raster_fast = raster._replace(fast_gather_vjp=True)
-
-    def prepare_fb_fast(scene):
-        def loss(sc):
-            st = sc.select(stat_idx)
-            c = build_tile_cache(st.means, st.covs(), st.colors_dc(),
-                                 st.opacities(), cam, raster_fast)
-            return (jnp.mean(c.gcol ** 2) + jnp.mean(c.gxy ** 2)
-                    + jnp.mean(c.gop ** 2))
-        return jax.value_and_grad(loss)(scene)
-
-    bench("prepare_fb_fast", prepare_fb_fast, scene)
-
     def bin_fb(means, covs, cols, ops):
         def loss(m, c, co, o):
             def one(mm, cc, cco, oo):
@@ -283,20 +270,6 @@ def main():
         return jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(means, covs, cols, ops)
 
     bench("projbin_fb", bin_fb, d_means, d_covs, d_cols, d_ops)
-
-    def bin_fb_fast(means, covs, cols, ops):
-        fast_cfg = dyn_cfg._replace(fast_gather_vjp=True)
-        def loss(m, c, co, o):
-            def one(mm, cc, cco, oo):
-                p = project(mm, cc, cam)
-                (gxy, gconic, gcol, gop, gdep), cnt, tr = gather_tile_lists(
-                    p, cco, oo, fast_cfg, tx, ty)
-                return (jnp.mean(gcol ** 2) + jnp.mean(gxy ** 2)
-                        + jnp.mean(gop ** 2))
-            return jnp.mean(jax.vmap(one)(m, c, co, o))
-        return jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(means, covs, cols, ops)
-
-    bench("projbin_fb_fast", bin_fb_fast, d_means, d_covs, d_cols, d_ops)
 
     # ---- full step ----------------------------------------------------
     prepare, step_c, _ = _make_step_cached(graph, RES, RES, raster,

@@ -137,6 +137,96 @@ def project(
     return Projected(xy=xy, depth=z, conic=conic, radius=radius, valid=valid)
 
 
+def _finish_projection(p_cam, m0, m1, m2, camera, near, eps2d) -> Projected:
+    """Shared tail of :func:`project` / :func:`project_raw`: perspective
+    Jacobian, 2D conic, radius, culling — from camera-frame means ``p_cam``
+    and the rows ``m0/m1/m2`` (N, 3) of M = R_cam·S (so Σ_cam = M Mᵀ)."""
+    x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
+    zc = jnp.maximum(z, near)
+    u = camera.fx * x / zc + camera.cx
+    v = camera.fy * y / zc + camera.cy
+    xy = jnp.stack([u, v], axis=-1)
+
+    inv_z = 1.0 / zc
+    inv_z2 = inv_z * inv_z
+    j00 = camera.fx * inv_z
+    j02 = -camera.fx * x * inv_z2
+    j11 = camera.fy * inv_z
+    j12 = -camera.fy * y * inv_z2
+
+    # A = J M is 2×3 per gaussian: Σ₂ = A Aᵀ + eps2d·I, built from row dots
+    # — never a (N, 3, 3) temp (TPU pads trailing (3, 3) dims ~57×).
+    a0 = j00[..., None] * m0 + j02[..., None] * m2          # (N, 3)
+    a1 = j11[..., None] * m1 + j12[..., None] * m2
+    a = jnp.sum(a0 * a0, axis=-1) + eps2d
+    b = jnp.sum(a0 * a1, axis=-1)
+    c = jnp.sum(a1 * a1, axis=-1) + eps2d
+
+    det = a * c - b * b
+    det_safe = jnp.maximum(det, 1e-12)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    mid = 0.5 * (a + c)
+    lam = mid + jnp.sqrt(jnp.maximum(mid * mid - det_safe, 0.01))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam))
+
+    valid = (z > near) & (det > 0.0)
+    inside = (
+        (u + radius > 0.0)
+        & (u - radius < camera.width)
+        & (v + radius > 0.0)
+        & (v - radius < camera.height)
+    )
+    valid = valid & inside
+    radius = jnp.where(valid, radius, 0.0)
+    return Projected(xy=xy, depth=z, conic=conic, radius=radius, valid=valid)
+
+
+def _rotation_rows(q: jnp.ndarray):
+    """Rows of R(q) for batched wxyz quaternions, as three (N, 3) arrays
+    (normalizing q) — the covariance square root without a (N, 3, 3) temp."""
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r0 = jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                    2 * (x * z + w * y)], axis=-1)
+    r1 = jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                    2 * (y * z - w * x)], axis=-1)
+    r2 = jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                    1 - 2 * (x * x + y * y)], axis=-1)
+    return r0, r1, r2
+
+
+def project_raw(
+    means: jnp.ndarray,
+    quats: jnp.ndarray,
+    log_scales: jnp.ndarray,
+    camera: Camera,
+    near: float = 0.01,
+    eps2d: float = BLUR_2D,
+) -> Projected:
+    """EWA projection straight from raw gaussian parameters.
+
+    Mathematically identical to ``project(means, compute_cov(quats,
+    exp(log_scales)), camera)`` but fused: with M = R_w2c·R(q)·S the 2D
+    covariance is Σ₂ = (J M)(J M)ᵀ + eps2d·I, and the rotation composition
+    R_w2c·R(q) is one quaternion product — so the largest temporary is
+    (N, 4) instead of the (N, 3, 3) world covariance whose trailing-dims TPU
+    layout pads ~57× (the round-2 moving-camera OOM, bench.py variant).
+    Fully differentiable w.r.t. all parameters and the camera.
+    """
+    from sim_a_splat_tpu.ops import quaternion as quat
+
+    w2c = camera.pose.inverse()
+    R = w2c.rotation_matrix()
+    p_cam = means @ R.T + w2c.t
+    q_cam = quat.multiply(w2c.q, quats)
+    r0, r1, r2 = _rotation_rows(q_cam)
+    s = jnp.exp(log_scales)                                 # (N, 3)
+    return _finish_projection(p_cam, r0 * s, r1 * s, r2 * s,
+                              camera, near, eps2d)
+
+
 def view_directions(means: jnp.ndarray, camera: Camera) -> jnp.ndarray:
     """Unit directions camera-origin → gaussian (for SH evaluation)."""
     d = means - camera.pose.t

@@ -55,10 +55,16 @@ class RasterConfig(NamedTuple):
     max_tiles_per_gaussian: int = 16  # M: bbox slots per gaussian
     chunk: int = 64                # compositing chunk (scan step)
     sigma_cutoff: Optional[float] = None  # drop contributions beyond nσ
-    fast_gather_vjp: bool = False  # sort-based custom VJP (XLA scatter wins on TPU)
     backend: str = "xla"           # compositing: "xla" | "pallas" | "pallas_interpret"
     term_eps: Optional[float] = None  # pallas early-stop transmittance (gsplat: 1e-4)
     fused_pair: bool = True        # cached path: merge-free interleaved kernel
+    # Radius-aware binning buckets: ((M_b, frac_b), ...) ascending in M_b.
+    # Gaussians are ordered by tile-footprint size; the frac_b·N with the
+    # largest footprints get M_b slots from the largest bucket down (the
+    # smallest bucket takes the remainder — its frac is ignored).  Shrinks
+    # the binning sort from N·M to Σ n_b·M_b elements; most gaussians touch
+    # ≪ M tiles.  None ⇒ uniform M = max_tiles_per_gaussian.
+    buckets: Optional[tuple] = None
 
 
 class RasterAux(NamedTuple):
@@ -71,16 +77,45 @@ class RasterAux(NamedTuple):
     depth: jnp.ndarray              # (H, W) alpha-weighted mean depth
 
 
+def _emit_tiles(tx0, ty0, bw, nt, rank, gid, M, tx, T, N):
+    """Emit up to ``M`` fused (tile·N + rank) keys per gaussian (row-major
+    over the bbox; entries past the footprint get the sentinel key T·N)."""
+    m = jnp.arange(M, dtype=jnp.int32)
+    dx = m[None, :] % bw[:, None]
+    dy = m[None, :] // bw[:, None]
+    slot_valid = m[None, :] < nt[:, None]
+    tile = (ty0[:, None] + dy) * tx + (tx0[:, None] + dx)
+    tile = jnp.where(slot_valid, tile, T).astype(jnp.int32)  # T = sentinel
+    key = tile * N + rank[:, None]
+    gidx = jnp.broadcast_to(gid[:, None], (gid.shape[0], M))
+    return key.reshape(-1), gidx.reshape(-1)
+
+
 def _bin_gaussians(proj: Projected, config: RasterConfig, tx: int, ty: int):
     """(tile, depth)-sorted gaussian ids + per-tile segment starts/counts.
 
-    ``sorted_slot`` (the flat emission-slot order, needed only by the
-    sort-based ``fast_gather_vjp`` backward) is carried through the sort
-    only when that path is on — one fewer 32-bit operand otherwise."""
+    Keys are fused into a single exact int32 ``tile · N + depth_rank``:
+    the (E)-element sort is the binning hot spot and XLA's TPU sort cost
+    scales with operand count and key count; one integer key + gidx payload
+    is ~40% cheaper than (tile, depth) two-key / 3-operand.  depth_rank (the
+    gaussian's position in the global depth order, from one cheap N-element
+    pre-sort) preserves the exact (tile, depth) order because every gaussian
+    has one depth: within a tile, rank order == depth order.
+
+    With ``config.buckets``, gaussians are first ordered by descending tile
+    footprint (one multi-operand N-element sort) and emission slots are
+    allocated per bucket — E = Σ n_b·M_b instead of N·M.  A gaussian whose
+    footprint exceeds its bucket's M_b keeps its nearest-origin tiles and is
+    counted in n_slot_truncated (same accounting as the uniform path).
+    """
     ts = config.tile_size
     M = config.max_tiles_per_gaussian
     T = tx * ty
     N = proj.xy.shape[0]
+    if (T + 1) * N >= 2**31:
+        raise ValueError(
+            f"binning key overflow: (T+1)·N = {(T + 1) * N} ≥ 2^31 — "
+            "shard the gaussians (parallel/render_sharding.py) or reduce N")
 
     x, y = proj.xy[..., 0], proj.xy[..., 1]
     r = proj.radius
@@ -90,59 +125,48 @@ def _bin_gaussians(proj: Projected, config: RasterConfig, tx: int, ty: int):
     ty1 = jnp.clip(jnp.floor((y + r) / ts), 0, ty - 1).astype(jnp.int32)
     bw = tx1 - tx0 + 1
     bh = ty1 - ty0 + 1
+    nt = jnp.where(proj.valid, bw * bh, 0)                  # tiles touched
 
-    m = jnp.arange(M, dtype=jnp.int32)
-    dx = m[None, :] % bw[:, None]
-    dy = m[None, :] // bw[:, None]
-    slot_valid = (m[None, :] < (bw * bh)[:, None]) & proj.valid[:, None]
-    tile = (ty0[:, None] + dy) * tx + (tx0[:, None] + dx)
-    tile = jnp.where(slot_valid, tile, T).astype(jnp.int32)  # T = sentinel
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+    _, depth_order = lax.sort((proj.depth, iota_n), num_keys=1)
+    _, rank = lax.sort((depth_order, iota_n), num_keys=1)
 
-    gidx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, M))
-    fused = (T + 1) * N < 2**31
-    if fused:
-        # Single fused int32 key: tile * N + depth_rank.  The (N·M)-element
-        # sort is the binning hot spot and XLA's TPU sort cost scales with
-        # operand count and key count; replacing (tile, depth) two-key /
-        # 3-operand with one exact integer key + gidx payload cuts it ~40%.
-        # depth_rank (the gaussian's position in the global depth order,
-        # from one cheap N-element pre-sort) preserves the exact (tile,
-        # depth) order because every gaussian has one depth: within a tile,
-        # rank order == depth order.
-        iota_n = jnp.arange(N, dtype=jnp.int32)
-        _, depth_order = lax.sort((proj.depth, iota_n), num_keys=1)
-        _, rank = lax.sort((depth_order, iota_n), num_keys=1)
-        key = tile * N + rank[:, None]
-        if config.fast_gather_vjp:
-            slot = jnp.arange(N * M, dtype=jnp.int32)
-            sorted_key, sorted_gidx, sorted_slot = lax.sort(
-                (key.reshape(-1), gidx.reshape(-1), slot), num_keys=1)
-        else:
-            sorted_key, sorted_gidx = lax.sort(
-                (key.reshape(-1), gidx.reshape(-1)), num_keys=1)
-            sorted_slot = None
-        sorted_tile = sorted_key // N
-        tids = jnp.arange(T, dtype=jnp.int32)
-        starts = jnp.searchsorted(sorted_key, tids * N, side="left")
-        ends = jnp.searchsorted(sorted_key, (tids + 1) * N, side="left")
+    if not config.buckets:
+        keys, gids = _emit_tiles(tx0, ty0, bw, nt, rank, iota_n, M, tx, T, N)
+        n_slot_truncated = jnp.sum(nt > M)
     else:
-        depth_b = jnp.broadcast_to(proj.depth[:, None], (N, M))
-        if config.fast_gather_vjp:
-            slot = jnp.arange(N * M, dtype=jnp.int32)
-            sorted_tile, _, sorted_gidx, sorted_slot = lax.sort(
-                (tile.reshape(-1), depth_b.reshape(-1), gidx.reshape(-1),
-                 slot), num_keys=2)
-        else:
-            sorted_tile, _, sorted_gidx = lax.sort(
-                (tile.reshape(-1), depth_b.reshape(-1), gidx.reshape(-1)),
-                num_keys=2)
-            sorted_slot = None
-        tids = jnp.arange(T, dtype=jnp.int32)
-        starts = jnp.searchsorted(sorted_tile, tids, side="left")
-        ends = jnp.searchsorted(sorted_tile, tids, side="right")
+        buckets = sorted(config.buckets)                    # ascending M_b
+        # order by descending footprint; carry every emission input through
+        # the one sort (multi-operand N-sort ≪ any gather on TPU)
+        _, stx0, sty0, sbw, snt, srank, sgid = lax.sort(
+            (-nt, tx0, ty0, bw, nt, rank, iota_n), num_keys=1)
+        sizes = [max(int(round(f * N)), 0) for _, f in buckets]
+        sizes[0] = max(N - sum(sizes[1:]), 0)               # remainder
+        keys_l, gids_l = [], []
+        trunc = jnp.zeros((), jnp.int32)
+        # descending-footprint order ⇒ the largest-M bucket takes the FRONT
+        lo = 0
+        for (M_b, _), n_b in zip(reversed(buckets), reversed(sizes)):
+            if n_b == 0:
+                continue
+            sl = slice(lo, lo + n_b)
+            k, g = _emit_tiles(stx0[sl], sty0[sl], sbw[sl], snt[sl],
+                               srank[sl], sgid[sl], min(M_b, M), tx, T, N)
+            keys_l.append(k)
+            gids_l.append(g)
+            trunc += jnp.sum(snt[sl] > min(M_b, M))
+            lo += n_b
+        keys = jnp.concatenate(keys_l)
+        gids = jnp.concatenate(gids_l)
+        n_slot_truncated = trunc
+
+    sorted_key, sorted_gidx = lax.sort((keys, gids), num_keys=1)
+    sorted_tile = sorted_key // N
+    tids = jnp.arange(T, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_key, tids * N, side="left")
+    ends = jnp.searchsorted(sorted_key, (tids + 1) * N, side="left")
     counts = (ends - starts).astype(jnp.int32)
-    n_slot_truncated = jnp.sum((bw * bh > M) & proj.valid)
-    return sorted_tile, sorted_gidx, sorted_slot, starts, counts, n_slot_truncated
+    return sorted_tile, sorted_gidx, starts, counts, n_slot_truncated
 
 
 def _tile_pixel_centers(tx: int, ty: int, ts: int, dtype=jnp.float32):
@@ -251,51 +275,6 @@ def untile_image(a: jnp.ndarray, tx: int, ty: int, ts: int, H: int, W: int):
     return a.reshape((ty * ts, tx * ts) + extra)[:H, :W]
 
 
-@jax.custom_vjp
-def _tile_gather(payload, g, aux):
-    """Gather per-gaussian rows into (T, K, C) per-tile lists.
-
-    The automatic transpose of this gather is a (T·K)-element scatter-add
-    into (N, C) — catastrophically slow on TPU (measured 17× the forward).
-    The custom VJP instead uses the binning byproducts in ``aux`` to invert
-    the mapping: each gaussian reads back the cotangents of its ≤M list
-    positions with *gathers only* (plus one int sort), no scatter.
-    """
-    del aux
-    return payload[g]
-
-
-def _tile_gather_fwd(payload, g, aux):
-    return payload[g], (payload.shape, g.shape, aux)
-
-
-def _tile_gather_bwd(res, ct):
-    (N, C), (T, K), aux = res
-    sorted_tile, sorted_slot, starts, counts = aux
-    NM = sorted_slot.shape[0]
-    M = NM // N
-    s = jnp.arange(NM, dtype=jnp.int32)
-    t = sorted_tile                                       # (NM,) T = sentinel
-    t_safe = jnp.minimum(t, starts.shape[0] - 1)
-    k = s - starts[t_safe]
-    in_list = (t < starts.shape[0]) & (k >= 0) & \
-              (k < jnp.minimum(counts[t_safe], K))
-    flatpos = jnp.where(in_list, t_safe * K + k, T * K)   # T*K = zero pad row
-    # reorder into slot order (slot = n*M + m) with one int sort
-    _, pos_slotorder = lax.sort((sorted_slot, flatpos), num_keys=1)
-    pos = pos_slotorder.reshape(N, M)
-    ct_pad = jnp.concatenate(
-        [ct.reshape(T * K, C), jnp.zeros((1, C), ct.dtype)])
-    grad_payload = jnp.sum(ct_pad[pos], axis=1)           # (N, C): gathers only
-    import numpy as _np
-    zero_int = lambda a: _np.zeros(a.shape, jax.dtypes.float0)
-    return (grad_payload, zero_int(jnp.zeros((T, K), jnp.int32)),
-            jax.tree.map(zero_int, aux))
-
-
-_tile_gather.defvjp(_tile_gather_fwd, _tile_gather_bwd)
-
-
 def gather_tile_lists(
     proj: Projected,
     colors: jnp.ndarray,
@@ -307,7 +286,7 @@ def gather_tile_lists(
     """Bin + fixed-capacity per-tile gather.  Returns ((T, K, ·) lists with
     inactive entries zero-opacity, counts, n_slot_truncated)."""
     K = config.tile_capacity
-    (sorted_tile, sorted_gidx, sorted_slot, starts, counts,
+    (sorted_tile, sorted_gidx, starts, counts,
      n_slot_trunc) = _bin_gaussians(proj, config, tx, ty)
     k = jnp.arange(K, dtype=jnp.int32)
     sel = jnp.clip(starts[:, None] + k[None, :], 0, sorted_gidx.shape[0] - 1)
@@ -321,11 +300,10 @@ def gather_tile_lists(
         jnp.clip(opacities, 0.0, 1.0)[:, None],            # 8
         proj.depth[:, None],                               # 9
     ], axis=1)
-    if config.fast_gather_vjp:
-        aux = (sorted_tile, sorted_slot, starts, counts)
-        lists = _tile_gather(payload, g, aux)              # (T, K, 10)
-    else:
-        lists = payload[g]
+    # the gather's automatic transpose is a (T·K)→(N, 10) scatter-add; on
+    # TPU that was measured FASTER than a sort-based custom VJP for this
+    # shape (PROFILE.md round-1 table), so the plain gather stays
+    lists = payload[g]
 
     gxy = lists[..., 0:2]
     gconic = lists[..., 2:5]
@@ -450,3 +428,36 @@ def rasterize_sh(
     dirs = view_directions(means, camera)
     colors = sh_ops.eval_sh_color(sh_coeffs, dirs, sh_degree)
     return rasterize(means, covs, colors, opacities, camera, config, background)
+
+
+def rasterize_raw(
+    means: jnp.ndarray,
+    quats: jnp.ndarray,
+    log_scales: jnp.ndarray,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    camera: Camera,
+    config: RasterConfig = RasterConfig(),
+    background: jnp.ndarray | None = None,
+):
+    """Rasterize straight from raw gaussian parameters.
+
+    Same output as ``rasterize(means, compute_cov(quats, exp(log_scales)),
+    ...)`` but via the fused :func:`project_raw` — no (N, 3, 3) covariance
+    temps, so it is the path for moving (per-env) cameras where posing +
+    projection run per frame (the reference's EEF-mounted camera,
+    splat_handler.py:316-332)."""
+    from sim_a_splat_tpu.ops.projection import project_raw
+
+    proj = project_raw(means, quats, log_scales, camera)
+    return render_binned(proj, colors, opacities, camera, config, background)
+
+
+def rasterize_raw_sh(means, quats, log_scales, sh_coeffs, opacities, camera,
+                     sh_degree: int, config: RasterConfig = RasterConfig(),
+                     background: jnp.ndarray | None = None):
+    """Raw-parameter rasterization with view-dependent SH colors."""
+    dirs = view_directions(means, camera)
+    colors = sh_ops.eval_sh_color(sh_coeffs, dirs, sh_degree)
+    return rasterize_raw(means, quats, log_scales, colors, opacities, camera,
+                         config, background)

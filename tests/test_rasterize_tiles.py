@@ -80,13 +80,15 @@ def test_gradients_match_reference():
                                    atol=1e-5, rtol=5e-3)
 
 
-def test_fast_gather_vjp_matches_default():
-    """The sort-based gather VJP (fast_gather_vjp=True) must agree with the
-    default scatter-transpose path on image and gradients."""
-    scene, covs0, colors, opac = scene_inputs(n=80, seed=7)
-    cam = make_camera(width=24, height=24)
-    target = jnp.ones((24, 24, 3)) * 0.4
-    cfg_fast = CFG._replace(fast_gather_vjp=True)
+def test_bucketed_binning_matches_uniform():
+    """Radius-bucketed binning (config.buckets) must produce the same image
+    and gradients as the uniform-M path when no bucket truncates."""
+    scene, covs0, colors, opac = scene_inputs(n=200, seed=7)
+    cam = make_camera(width=48, height=48)
+    target = jnp.ones((48, 48, 3)) * 0.4
+    # generous buckets: big-footprint 1/4 of gaussians get the full M,
+    # the rest get 6 slots — no truncation for this scene (asserted)
+    cfg_b = CFG._replace(buckets=((6, 0.75), (16, 0.25)))
 
     def loss(cfg):
         def f(means, covs, colors, opac):
@@ -95,15 +97,66 @@ def test_fast_gather_vjp_matches_default():
         return f
 
     args = (scene.means, covs0, colors, opac)
-    img_a, _ = rasterize(*args, cam, CFG)
-    img_b, _ = rasterize(*args, cam, cfg_fast)
+    img_a, aux_a = rasterize(*args, cam, CFG)
+    img_b, aux_b = rasterize(*args, cam, cfg_b)
+    assert int(aux_a.n_slot_truncated) == 0
+    assert int(aux_b.n_slot_truncated) == 0
     np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_a),
                                atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(aux_b.tile_counts),
+                                  np.asarray(aux_a.tile_counts))
     g_a = jax.grad(loss(CFG), argnums=(0, 1, 2, 3))(*args)
-    g_b = jax.grad(loss(cfg_fast), argnums=(0, 1, 2, 3))(*args)
+    g_b = jax.grad(loss(cfg_b), argnums=(0, 1, 2, 3))(*args)
     for a, b in zip(g_a, g_b):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-6, rtol=1e-4)
+
+
+def test_bucketed_binning_truncation_accounting():
+    """A too-small bucket drops farthest-from-origin bbox tiles and reports
+    every truncated gaussian in aux.n_slot_truncated."""
+    scene, covs0, colors, opac = scene_inputs(n=200, seed=7)
+    cam = make_camera(width=48, height=48)
+    cfg_tiny = CFG._replace(buckets=((1, 1.0),))           # 1 slot for all
+    _, aux = rasterize(scene.means, covs0, colors, opac, cam, cfg_tiny)
+    # the generous-bucket run above shows this scene has multi-tile
+    # footprints, so the 1-slot bucket must report truncation
+    assert int(aux.n_slot_truncated) > 0
+
+
+def test_project_raw_matches_project():
+    """project_raw (fused covariance+projection from raw params) must match
+    project(means, compute_cov(quats, scales)) exactly, values and grads."""
+    from sim_a_splat_tpu.ops.covariance import compute_cov
+    from sim_a_splat_tpu.ops.projection import project, project_raw
+
+    scene, _, _, _ = scene_inputs(n=150, seed=9)
+    cam = make_camera(width=32, height=32)
+    p1 = project(scene.means, compute_cov(scene.quats, scene.scales()), cam)
+    p2 = project_raw(scene.means, scene.quats, scene.log_scales, cam)
+    np.testing.assert_allclose(np.asarray(p2.xy), np.asarray(p1.xy),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p2.conic), np.asarray(p1.conic),
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(p2.valid), np.asarray(p1.valid))
+    np.testing.assert_array_equal(np.asarray(p2.radius), np.asarray(p1.radius))
+
+    def loss(fn):
+        def f(means, quats, log_scales):
+            p = fn(means, quats, log_scales)
+            w = p.valid[:, None]
+            return (jnp.sum(jnp.where(w, p.xy, 0.0) ** 2)
+                    + jnp.sum(jnp.where(w, p.conic, 0.0)))
+        return f
+
+    f1 = loss(lambda m, q, s: project(m, compute_cov(q, jnp.exp(s)), cam))
+    f2 = loss(lambda m, q, s: project_raw(m, q, s, cam))
+    args = (scene.means, scene.quats, scene.log_scales)
+    g1 = jax.grad(f1, argnums=(0, 1, 2))(*args)
+    g2 = jax.grad(f2, argnums=(0, 1, 2))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-3, rtol=1e-3)
 
 
 def test_sh_path_matches_reference():

@@ -1,0 +1,97 @@
+"""In-framework splat trainer: photometric recovery + densify/cull round.
+
+The reference trains splats through nerfstudio (README.md:9); these tests
+pin that the framework's own trainer (splat/train.py) actually recovers a
+scene from posed RGB views — the end-to-end proof that pixel gradients
+through the tile rasterizer are optimization-quality.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sim_a_splat_tpu.ops import quaternion as quat
+from sim_a_splat_tpu.ops.projection import Camera
+from sim_a_splat_tpu.ops.transforms import SE3
+from sim_a_splat_tpu.splat.loaders import synthetic_scene
+from sim_a_splat_tpu.splat.train import (
+    TrainConfig, psnr, render_view, train,
+)
+
+
+def look_at_camera(position, target=(0.0, 0.0, 0.0), res=64, fov=0.9):
+    """OpenCV camera-to-world pose with +z toward ``target``."""
+    p = np.asarray(position, np.float64)
+    z = np.asarray(target, np.float64) - p
+    z /= np.linalg.norm(z)
+    up = np.array([0.0, -1.0, 0.0])
+    if abs(np.dot(up, z)) > 0.95:
+        up = np.array([1.0, 0.0, 0.0])
+    x = np.cross(up, z); x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z], axis=1)
+    q = quat.from_rotation_matrix(jnp.asarray(R, jnp.float32))
+    return Camera.from_fov(SE3(q, jnp.asarray(p, jnp.float32)), fov, res, res)
+
+
+def ring_views(scene, n_views=4, radius=2.6, res=64):
+    cams, imgs = [], []
+    for i in range(n_views):
+        a = 2 * np.pi * i / n_views
+        cam = look_at_camera(
+            [radius * np.sin(a), 0.4, -radius * np.cos(a)], res=res)
+        cams.append(cam)
+        imgs.append(render_view(scene, cam))
+    return cams, imgs
+
+
+def test_trainer_recovers_perturbed_scene():
+    gt = synthetic_scene(40, seed=3, extent=0.7, scale_range=(0.06, 0.15))
+    cams, imgs = ring_views(gt, n_views=4)
+
+    rng = np.random.default_rng(0)
+    noisy = gt._replace(
+        means=gt.means + jnp.asarray(
+            rng.normal(0, 0.05, gt.means.shape), jnp.float32),
+        sh_dc=gt.sh_dc + jnp.asarray(
+            rng.normal(0, 0.3, gt.sh_dc.shape), jnp.float32),
+    )
+    p0 = min(psnr(render_view(noisy, c), np.asarray(im))
+             for c, im in zip(cams, imgs))
+
+    # splatfacto default LRs are tuned for 30k iterations; scale up ~10×
+    # for a 300-iteration toy recovery
+    cfg = TrainConfig(iters=300, refine_every=0, lr_means=2e-3,
+                      lr_means_final=2e-4, lr_sh_dc=2.5e-2,
+                      lr_opacities=1e-1, lr_scales=2e-2, lr_quats=1e-2)
+    out, hist = train(noisy, cams, imgs, cfg)
+
+    p1 = min(psnr(render_view(out, c), np.asarray(im))
+             for c, im in zip(cams, imgs))
+    assert hist["loss"][-1] < hist["loss"][0]
+    assert p1 > p0 + 4.0, f"PSNR {p0:.2f} → {p1:.2f}: insufficient recovery"
+    assert p1 > 22.0, f"final PSNR {p1:.2f} too low"
+
+
+@pytest.mark.slow
+def test_trainer_densify_round_improves():
+    """Under-parameterized init + one densify/cull round: N must change and
+    reconstruction must keep improving across the refinement (the
+    splatfacto refine loop the reference invokes offline,
+    ns_utils/nerfstudio_utils.py:196-258)."""
+    gt = synthetic_scene(48, seed=5, extent=0.7, scale_range=(0.08, 0.18))
+    cams, imgs = ring_views(gt, n_views=4)
+
+    init = synthetic_scene(16, seed=11, extent=0.6,
+                           scale_range=(0.1, 0.2))
+    cfg = TrainConfig(iters=240, refine_every=80, refine_start=80,
+                      densify_grad_thresh=1e-5, densify_size_thresh=0.12,
+                      cull_alpha_thresh=0.05, lr_means=2e-3,
+                      lr_means_final=2e-4, lr_sh_dc=2.5e-2,
+                      lr_opacities=1e-1, lr_scales=2e-2, lr_quats=1e-2)
+    out, hist = train(init, cams, imgs, cfg)
+
+    assert len(set(hist["n_gaussians"])) > 1, "refinement never changed N"
+    early = np.mean(hist["loss"][:20])
+    late = np.mean(hist["loss"][-20:])
+    assert late < early * 0.7, f"loss {early:.4f} → {late:.4f}"
