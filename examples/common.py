@@ -11,10 +11,19 @@ plus an EEF-mounted moving camera (demo_pusht_splat.py:54-78).
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
 import numpy as np
+
+if os.environ.get("SIM_A_SPLAT_FORCE_CPU"):
+    # CI/smoke hook: force the CPU backend before any backend init — an
+    # installed TPU plugin otherwise wins over JAX_PLATFORMS (see
+    # tests/conftest.py for the same dance)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:       # run the examples from anywhere

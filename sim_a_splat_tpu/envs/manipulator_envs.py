@@ -109,6 +109,13 @@ class ManipulatorEnvF:
     eef_radius: float = 0.013      # EEF contact cylinder (sim_utils :104-112)
     block: TBlockParams = TBlockParams()
     contact_substeps: int = 4
+    # Positional-correction constants, pinned to Chipmunk's defaults (the
+    # same schedule the pushT path uses and is oracle-validated against,
+    # physics/pusht.py:69-86): bias None ⇒ 1 − ((1−0.1)**60)**dt per
+    # substep; slop = 1e-4 m is Chipmunk's 0.1-unit default scaled from
+    # pushT's 512-px workspace to this task's ~0.5-m workspace.
+    contact_bias: float | None = None
+    contact_slop: float = 1e-4
     default_goal: tuple = (0.475, 0.0, 0.2, 0.78539816)
 
     def _base(self) -> SE3:
@@ -212,9 +219,11 @@ class ManipulatorEnvF:
         body = planar.PlanarBody(cog=cog, angle=state.block_yaw,
                                  vel=jnp.zeros(2, jnp.float32),
                                  omega=jnp.zeros((), jnp.float32))
+        bias = (self.contact_bias if self.contact_bias is not None
+                else 1.0 - ((1.0 - 0.1) ** 60.0) ** dt)
         v, w, vb, wb, _ = planar.solve_contacts(
             body, contacts, 1.0 / bp.mass, 1.0 / bp.izz, dt,
-            iterations=10, bias=0.2, slop=1e-4)
+            iterations=10, bias=bias, slop=self.contact_slop)
         new_cog = cog + (v + vb) * dt
         new_yaw = state.block_yaw + (w + wb) * dt
         new_pos = new_cog - planar.rot2d(new_yaw) @ jnp.asarray(

@@ -371,3 +371,78 @@ class PushTOracle:
 
 # the walls belong to one shared static body
 _WALL_BODY = OracleBody(0.0, 0.0, kinematic=True)
+
+
+class ManipulatorOracle:
+    """The manipulator task's planar contact world on the oracle: circle
+    EEF (r = 0.013 m) vs the tblock_paper T-block in METERS, no walls —
+    independent ground truth for ``ManipulatorEnvF._block_substep``
+    (sim_a_splat_tpu/envs/manipulator_envs.py).  Same Chipmunk step
+    algorithm as :class:`PushTOracle`; geometry/inertia from the SDF
+    (assets/tblock_paper/tblock_paper.sdf:1-51)."""
+
+    def __init__(self, dt=0.0025, mu=1.0, slop=1e-4,
+                 crossbar_half=(0.1, 0.025), stem_half_x=0.025,
+                 stem_y=(-0.175, -0.025), mass=0.2,
+                 izz=0.003755952380952381, cog_y=-0.042857142857142844,
+                 eef_radius=0.013):
+        self.dt = dt
+        self.iterations = 10
+        self.slop = slop
+        self.collision_bias = (1.0 - 0.1) ** 60.0
+        self.damping = 0.0
+
+        cx, cy = crossbar_half
+        cb = np.array([(-cx, -cy), (cx, -cy), (cx, cy), (-cx, cy)])
+        st = np.array([(-stem_half_x, stem_y[0]), (stem_half_x, stem_y[0]),
+                       (stem_half_x, stem_y[1]), (-stem_half_x, stem_y[1])])
+        self.polys_local = [cb, st]
+        self.block = OracleBody(mass, izz, cog_local=(0.0, cog_y))
+        self.agent = OracleBody(0.0, 0.0, kinematic=True)
+        self.agent_radius = eef_radius
+        self.arbiters = {
+            ("agent", s): Arbiter(self.agent, self.block, mu)
+            for s in range(2)
+        }
+        self.prev_dt = 0.0
+
+    def world_polys(self):
+        R = self.block.rot()
+        origin = self.block.position
+        return [origin + lv @ R.T for lv in self.polys_local]
+
+    def set_state(self, block_pos, block_yaw):
+        self.block.a = float(block_yaw)
+        self.block.position = np.asarray(block_pos, float)
+        self.block.v = np.zeros(2)
+        self.block.w = 0.0
+
+    def substep(self, eef_xy, eef_vel):
+        """One contact substep with the EEF pinned at ``eef_xy`` moving at
+        ``eef_vel`` (the env's interpolated kinematic EEF)."""
+        dt = self.dt
+        self.block.update_position(dt)
+        self.agent.position = np.asarray(eef_xy, float)
+        self.agent.v = np.asarray(eef_vel, float)
+        polys = self.world_polys()
+        live = []
+        for s in range(2):
+            n, cts = circle_to_poly(
+                self.agent.position, self.agent_radius, polys[s])
+            arb = self.arbiters[("agent", s)]
+            if cts:
+                arb.update(n, cts)
+                live.append(arb)
+            else:
+                arb.contacts = []
+        self.block.update_velocity(0.0)      # damping-0 quasi-statics
+        bias_coef = 1.0 - self.collision_bias ** dt
+        for arb in live:
+            arb.pre_step(dt, self.slop, bias_coef)
+        dt_coef = 0.0 if self.prev_dt == 0.0 else dt / self.prev_dt
+        for arb in live:
+            arb.apply_cached_impulse(dt_coef)
+        for _ in range(self.iterations):
+            for arb in live:
+                arb.apply_impulse()
+        self.prev_dt = dt
