@@ -166,6 +166,21 @@ def main():
                     f'"unit": "frames/s/chip", "B": {B}}}')
             else:
                 log("variant moving skipped: over time budget")
+            if time.time() - t_start < budget_s:
+                # BASELINE config 4: articulated arm scene, 2 cameras
+                # (fixed viewport + moving EEF), end-to-end through
+                # SplatEnvWrapperF (the reference's actual product loop,
+                # splat_env_wrapper.py:140-159)
+                sys.path.insert(0, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+                from bench_product import measure_product
+                fpsp = measure_product(B=min(B, 8), N=N,
+                                       iters=max(ITERS // 2, 3), log=log)
+                log(f'variant {{"metric": "arm_splat_wrapper_2cam_240x320_'
+                    f'fwdbwd", "value": {round(fpsp, 2)}, '
+                    f'"unit": "env_frames/s/chip", "B": {min(B, 8)}}}')
+            else:
+                log("variant product skipped: over time budget")
         except Exception as e:       # variants must never break the metric
             log(f"variant failed: {e!r}")
 

@@ -1,0 +1,195 @@
+"""Product-path benchmark: BASELINE config 4 — articulated arm splat scene,
+2 cameras (fixed viewport + moving EEF-mounted), driven END-TO-END through
+``SplatEnvWrapperF`` (reference hot loop:
+sim_a_splat/env/splat/splat_env_wrapper.py:140-159, which renders 2 cameras
+per step, one attached to the EEF).
+
+Invoked as a bench.py variant and standalone:
+    python benchmarks/bench_product.py
+Env overrides: BENCH_B, BENCH_N, BENCH_ITERS, PRODUCT_RES (h,w).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = Path(__file__).resolve().parent.parent
+URDF = REPO / "robot_description" / "pusharm6" / "urdf" / "pusharm6.urdf"
+
+
+def build_product_wrapper(n_total=100_000, sh_degree=3, seed=0,
+                          render_size=(240, 320), raster=None):
+    """Arm env + splat wrapper at representative scale: per-link clusters
+    at rest FK + task block + dominant static background, sh_degree 3."""
+    import jax.numpy as jnp
+    from sim_a_splat_tpu.envs.manipulator_envs import ManipulatorEnvF
+    from sim_a_splat_tpu.envs.splat_wrapper import CameraSpec, SplatEnvWrapperF
+    from sim_a_splat_tpu.ops import rgb_to_sh
+    from sim_a_splat_tpu.ops.rasterize_tiles import RasterConfig
+    from sim_a_splat_tpu.ops.transforms import SE3
+    from sim_a_splat_tpu.physics import kinematics as kin
+    from sim_a_splat_tpu.splat.scene import GaussianScene
+
+    chain = kin.load_chain(URDF)
+    env = ManipulatorEnvF(chain=chain, eef_link="push_tool",
+                          env_objects=True)
+    rng = np.random.default_rng(seed)
+    q_rest = jnp.zeros(6)
+    rest_fk = kin.fk(chain, q_rest)
+    n_links = rest_fk.q.shape[0]
+
+    n_link = max(n_total // 50, 50)          # ~2% per link (xarm6-like)
+    n_block = max(n_total // 25, 50)
+    n_bg = n_total - n_links * n_link - n_block
+
+    def cluster(center, n, color, spread):
+        c = np.asarray(center, np.float32)
+        q = rng.normal(size=(n, 4))
+        q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+        return dict(
+            means=rng.normal(size=(n, 3)) * spread + c,
+            quats=q,
+            log_scales=rng.uniform(np.log(0.004), np.log(0.012), (n, 3)),
+            logit_opacities=np.full(n, 2.0, np.float32),
+            sh_dc=np.asarray(rgb_to_sh(jnp.asarray(
+                np.clip(color + rng.normal(0, 0.05, (n, 3)), 0, 1),
+                jnp.float32))),
+        )
+
+    parts = [cluster([0.2, 0.0, -0.6], n_bg, [0.8, 0.8, 0.75], 0.8)]
+    sizes = [n_bg]
+    for i in range(n_links):
+        parts.append(cluster(np.asarray(rest_fk.t[i]), n_link,
+                             [0.3, 0.4, 0.8], 0.05))
+        sizes.append(n_link)
+    block_rest = np.asarray([0.45, 0.0, 0.0])
+    parts.append(cluster(block_rest, n_block, [0.6, 0.55, 0.5], 0.06))
+    sizes.append(n_block)
+
+    def cat(k):
+        return jnp.asarray(np.concatenate([p[k] for p in parts]), jnp.float32)
+
+    n = sum(sizes)
+    k_rest = (sh_degree + 1) ** 2 - 1
+    scene = GaussianScene(
+        cat("means"), cat("quats"), cat("log_scales"),
+        cat("logit_opacities"), cat("sh_dc"),
+        sh_rest=None if sh_degree == 0 else jnp.asarray(
+            rng.normal(0, 0.02, (n, k_rest, 3)), jnp.float32))
+
+    off = np.cumsum([0] + sizes)
+    masks = {}
+    for i in range(n_links):
+        m = np.zeros(n, bool); m[off[i + 1]:off[i + 2]] = True
+        masks[f"link{i}"] = m
+    mt = np.zeros(n, bool); mt[off[-2]:off[-1]] = True
+    masks["task"] = mt
+
+    rest_q = jnp.concatenate([SE3.identity((1,)).q, rest_fk.q,
+                              jnp.asarray([[1.0, 0, 0, 0]])])
+    rest_t = jnp.concatenate([SE3.identity((1,)).t, rest_fk.t,
+                              jnp.asarray(block_rest, jnp.float32)[None]])
+
+    h, w = render_size
+    cameras = {
+        0: CameraSpec(type="viewport", render_size=(h, w),
+                      local_frame=((1.0, 0, 0, 0), (0.4, -0.2, -1.6)),
+                      fov=1.05),
+        # EEF-mounted camera, world-axis offset (the reference
+        # get_attached_frame convention, splat_handler.py:316-332)
+        1: CameraSpec(type="moving", render_size=(h, w),
+                      link_name="push_tool",
+                      local_frame=((1.0, 0, 0, 0), (0.0, -0.15, -1.2)),
+                      fov=1.05),
+    }
+    if raster is None:
+        from sim_a_splat_tpu.ops.rasterize_tiles import RasterConfig
+        raster = RasterConfig(
+            tile_capacity=1024, chunk=128, sigma_cutoff=3.0,
+            backend="pallas", term_eps=1e-4,
+            buckets=((4, 0.55), (9, 0.30), (16, 0.15)))
+    wrapper = SplatEnvWrapperF.build(
+        env=env, scene=scene, link_masks=masks, camera_setup_info=cameras,
+        task_mask_key="task", rest_poses_world=SE3(rest_q, rest_t),
+        scene_frame="world", raster=raster)
+    return wrapper
+
+
+def measure_product(B=8, N=100_000, iters=5, render_size=(240, 320),
+                    log=print, backend=None):
+    """Compile + time the 2-camera wrapper step, fwd+bwd wrt the scene.
+    Returns env-frames/s (each frame = physics step + 2 rendered cameras)."""
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    if backend is None:
+        backend = "pallas" if dev.platform == "tpu" else "xla"
+    import dataclasses as _dc
+
+    wrapper = build_product_wrapper(n_total=N, render_size=render_size)
+    wrapper = _dc.replace(wrapper,
+                          raster=wrapper.raster._replace(backend=backend))
+    graph = wrapper.graph
+
+    keys = jax.random.split(jax.random.key(0), B)
+    reset_to = {"robot_pos": np.zeros(6),
+                "block_pos": np.array([0.45, 0.0, 0.2, 0.0])}
+    states, _ = jax.jit(jax.vmap(
+        lambda k: wrapper.env.reset(k, reset_to)))(keys)
+    actions = jnp.tile(jnp.asarray(
+        [0.0, 0.3, 0.4, 0.0, 0.4, 0.0], jnp.float32), (B, 1))
+
+    def loss_of(scene, states, actions):
+        w = _dc.replace(wrapper, graph=graph._replace(scene=scene))
+
+        def one(s, a):
+            tr = w.step(s, a)
+            return tr.state, (jnp.mean(tr.obs["camera_0"] ** 2)
+                              + jnp.mean(tr.obs["camera_1"] ** 2))
+
+        new_states, l = jax.vmap(one)(states, actions)
+        return jnp.mean(l), new_states
+
+    def fwd_bwd(scene, states, actions):
+        (loss, ns), grads = jax.value_and_grad(
+            lambda sc: loss_of(sc, states, actions), has_aux=True)(scene)
+        return ns, loss, grads
+
+    jitted = jax.jit(fwd_bwd, donate_argnums=(1,))
+    log(f"[product] compiling... (B={B} N={N} res={render_size} "
+        f"backend={backend})")
+    t0 = time.time()
+    states, loss, grads = jitted(graph.scene, states, actions)
+    jax.block_until_ready(loss)
+    log(f"[product] compiled+first step in {time.time() - t0:.1f}s, "
+        f"loss={float(loss):.5f}")
+    t0 = time.time()
+    for _ in range(iters):
+        states, loss, grads = jitted(graph.scene, states, actions)
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    fps = B * iters / dt
+    log(f"[product] {B * iters} env-frames (2 cams each) in {dt:.2f}s "
+        f"→ {fps:.1f} frames/s (ms/frame {1e3 * dt / (B * iters):.2f})")
+    return fps
+
+
+if __name__ == "__main__":
+    import json
+
+    B = int(os.environ.get("BENCH_B", "8"))
+    N = int(os.environ.get("BENCH_N", "100000"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    fps = measure_product(B=B, N=N, iters=iters,
+                          log=lambda m: print(m, file=sys.stderr, flush=True))
+    print(json.dumps({
+        "metric": "arm_splat_wrapper_2cam_240x320_fwdbwd",
+        "value": round(fps, 2), "unit": "env_frames/s/chip"}))

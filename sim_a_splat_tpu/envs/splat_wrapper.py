@@ -32,7 +32,9 @@ from sim_a_splat_tpu.envs.manipulator_envs import ManipulatorEnvF
 from sim_a_splat_tpu.messaging.draw import DrawState, ROBOT_NUM_ROBOT, ROBOT_NUM_TASK
 from sim_a_splat_tpu.ops import quaternion as quat
 from sim_a_splat_tpu.ops.projection import Camera
-from sim_a_splat_tpu.ops.rasterize_tiles import RasterConfig, rasterize_sh
+from sim_a_splat_tpu.ops.rasterize_tiles import (
+    RasterConfig, rasterize_raw_sh,
+)
 from sim_a_splat_tpu.ops.transforms import SE3, Sim3
 from sim_a_splat_tpu.scenegraph import SceneGraph, canonicalize, splat_to_world_pose
 from sim_a_splat_tpu.splat.scene import GaussianScene
@@ -199,7 +201,6 @@ class SplatEnvWrapperF:
         if draw is None:
             draw = base.draw_state(env_state)
         posed = self.graph.posed(self._body_poses(draw))
-        covs = posed.covs()
         sh = posed.sh_coeffs()
         opac = posed.opacities()
         bg = jnp.asarray(self.background, jnp.float32)
@@ -208,8 +209,12 @@ class SplatEnvWrapperF:
                                      self.cameras):
             h, w = spec.render_size
             cam = Camera.from_fov(pose, spec.fov, int(w), int(h))
-            img, _ = rasterize_sh(posed.means, covs, sh, opac, cam,
-                                  posed.sh_degree, self.raster, background=bg)
+            # raw-parameter projection: no (N, 3, 3) covariance temps, so
+            # the vmapped multi-camera product path stays batchable
+            img, _ = rasterize_raw_sh(posed.means, posed.quats,
+                                      posed.log_scales, sh, opac, cam,
+                                      posed.sh_degree, self.raster,
+                                      background=bg)
             imgs.append(img)
         return imgs
 
@@ -218,11 +223,11 @@ class SplatEnvWrapperF:
         free-viewpoint path the reference delegates to the browser client
         (splat_handler.py:334-346).  Returns (H, W, 3) float."""
         posed = self.graph.posed(self._body_poses(draw))
-        img, _ = rasterize_sh(posed.means, posed.covs(), posed.sh_coeffs(),
-                              posed.opacities(), camera, posed.sh_degree,
-                              self.raster,
-                              background=jnp.asarray(self.background,
-                                                     jnp.float32))
+        img, _ = rasterize_raw_sh(posed.means, posed.quats, posed.log_scales,
+                                  posed.sh_coeffs(), posed.opacities(),
+                                  camera, posed.sh_degree, self.raster,
+                                  background=jnp.asarray(self.background,
+                                                         jnp.float32))
         return img
 
     def observe(self, env_state, inner_obs: dict) -> dict:

@@ -162,9 +162,22 @@ def _bin_gaussians(proj: Projected, config: RasterConfig, tx: int, ty: int):
 
     sorted_key, sorted_gidx = lax.sort((keys, gids), num_keys=1)
     sorted_tile = sorted_key // N
-    tids = jnp.arange(T, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_key, tids * N, side="left")
-    ends = jnp.searchsorted(sorted_key, (tids + 1) * N, side="left")
+    E = keys.shape[0]
+    if (T + 1) * E <= 64 * 2**20:
+        # per-tile segment boundaries as ONE fused (T+1, E) compare-reduce:
+        # cnt[t] = #keys < t·N.  jnp.searchsorted's default scan lowering
+        # (log₂E dependent micro-gathers) dominated the round-2 dynamic
+        # binning (~0.8 ms/frame); a lane-axis compare+sum never
+        # materializes the mask and XLA fuses it to bandwidth speed.
+        bnd = jnp.arange(T + 1, dtype=jnp.int32) * N
+        cnt = jnp.sum(keys[None, :] < bnd[:, None], axis=1, dtype=jnp.int32)
+        starts, ends = cnt[:T], cnt[1:]
+    else:
+        tids = jnp.arange(T, dtype=jnp.int32)
+        starts = jnp.searchsorted(sorted_key, tids * N, side="left",
+                                  method="sort")
+        ends = jnp.searchsorted(sorted_key, (tids + 1) * N, side="left",
+                                method="sort")
     counts = (ends - starts).astype(jnp.int32)
     return sorted_tile, sorted_gidx, starts, counts, n_slot_truncated
 

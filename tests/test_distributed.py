@@ -78,6 +78,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_env_sharded_step(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)

@@ -100,6 +100,7 @@ def test_pair_gradients_match_merge(static_skip):
                                    atol=3e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_pair_vmap_shared_static():
     # the production shape: one static cache shared by a vmapped env batch
     static, dyn, cam = setup(n_static=200, n_dyn=40)

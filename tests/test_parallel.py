@@ -43,6 +43,7 @@ def test_sharded_render_matches_single_device():
                                atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_render_differentiable():
     mesh = make_mesh(env=1, prim=8)
     scene = synthetic_scene(64, seed=1, extent=0.6, scale_range=(0.05, 0.1))
@@ -66,6 +67,7 @@ def test_sharded_render_differentiable():
                                atol=1e-4, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_env_sharded_rollout():
     mesh = make_mesh()     # 8-way env axis
     P_ = PushTParams()

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from sim_a_splat_tpu.physics import planar
 from sim_a_splat_tpu.physics import pusht
 from sim_a_splat_tpu.physics.pusht import PushTParams, PushTState
+import pytest
 
 P = PushTParams()
 
@@ -136,6 +137,7 @@ def test_off_center_push_rotates_block():
     assert abs(float(st.block_angle)) > 0.05
 
 
+@pytest.mark.slow
 def test_block_cog_override_changes_rotation():
     """block_cog ctor override (reference pusht_env.py:97-99): moving the
     pivot point changes the torque of the same off-center push."""
@@ -187,6 +189,7 @@ def test_obs_layout_and_angle_wrap():
     assert 0.0 <= obs[4] < 2 * np.pi
 
 
+@pytest.mark.slow
 def test_vmapped_batch_rollout():
     keys = jax.random.split(jax.random.key(0), 16)
     resets = jax.vmap(lambda k: pusht.reset(P, k))(keys)
@@ -206,6 +209,7 @@ def test_vmapped_batch_rollout():
     assert np.isfinite(np.asarray(r)).all()
 
 
+@pytest.mark.slow
 def test_reward_differentiable_through_dynamics():
     st = settled(agent=(80.0, 310.0), block=(149.0, 256.0))
 

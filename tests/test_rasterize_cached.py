@@ -11,6 +11,7 @@ from sim_a_splat_tpu.ops.rasterize_cached import (
 from sim_a_splat_tpu.ops.rasterize_tiles import RasterConfig, rasterize
 from sim_a_splat_tpu.ops.transforms import SE3
 from sim_a_splat_tpu.splat import synthetic_scene
+import pytest
 
 CFG = RasterConfig(tile_size=16, tile_capacity=512, max_tiles_per_gaussian=16,
                    chunk=64, sigma_cutoff=3.0)
@@ -31,6 +32,7 @@ def parts(s):
     return s.means, s.covs(), s.colors_dc(), s.opacities()
 
 
+@pytest.mark.slow
 def test_cached_matches_plain():
     static, dyn, cam = setup()
     sm, sc, scol, sop = parts(static)
@@ -77,6 +79,7 @@ def test_cached_moving_dynamics():
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_cached_gradients_flow():
     static, dyn, cam = setup(n_static=100, n_dyn=30)
     cache = build_tile_cache(*parts(static), cam, CFG)
@@ -185,6 +188,7 @@ def test_merge_path_is_exact_permutation():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_static_skip_exact():
     """static_composite whole-tile skipping must not change the image or
     the gradients: tiles with zero dynamic entries reuse the once-per-step

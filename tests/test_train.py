@@ -45,6 +45,7 @@ def ring_views(scene, n_views=4, radius=2.6, res=64):
     return cams, imgs
 
 
+@pytest.mark.slow
 def test_trainer_recovers_perturbed_scene():
     gt = synthetic_scene(40, seed=3, extent=0.7, scale_range=(0.06, 0.15))
     cams, imgs = ring_views(gt, n_views=4)
