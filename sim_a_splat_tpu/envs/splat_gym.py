@@ -214,18 +214,23 @@ class SplatEnvWrapper(gym.Wrapper):
         robot_keys = sorted([k for k in self._masks
                              if k != self._task_mask_key],
                             key=lambda s: (len(s), s))
+        chain_links = [n for n in base_f.chain.link_names if n != "world"]
+        if len(robot_keys) != len(chain_links):
+            # positional pairing (reference splat_handler.py:238-289) —
+            # a count mismatch silently shifts every subsequent link's
+            # splats, so fail loudly instead
+            raise ValueError(
+                f"link-mask/chain mismatch: {len(robot_keys)} robot mask "
+                f"keys {robot_keys} vs {len(chain_links)} non-world chain "
+                f"links {chain_links}; the pairing is positional, so "
+                "counts must match exactly")
         rest_q, rest_t = [[1.0, 0, 0, 0]], [[0.0, 0, 0]]
         j = 0
         for i, name in enumerate(base_f.chain.link_names):
             if name == "world":
                 continue
-            if j >= len(robot_keys):
-                break
             rest_q.append(np.asarray(rest_fk.q[i]))
             rest_t.append(np.asarray(rest_fk.t[i]))
-            j += 1
-        while j < len(robot_keys):     # more masks than links: rest identity
-            rest_q.append([1.0, 0, 0, 0]); rest_t.append([0.0, 0, 0])
             j += 1
         if self._task_mask_key is not None:
             # task gaussians were generated in the block's local frame

@@ -131,6 +131,20 @@ class SplatEnvWrapperF:
                 local_idx += 1
             elif l.robot_num == ROBOT_NUM_TASK and task_mask_key is not None:
                 schema_to_body[i] = len(robot_keys) + 1
+        # the mask-key → link pairing is positional (the reference's
+        # sequential local_idx walk, splat_handler.py:238-289, shares this
+        # fragility silently) — so the counts MUST match or every mask
+        # after a geometry-less link would bind to the wrong body
+        robot_link_names = [
+            l.name.removeprefix("plant::") for l in schema.links
+            if l.robot_num == ROBOT_NUM_ROBOT
+            and l.name.removeprefix("plant::") != "world"]
+        if local_idx != len(robot_keys):
+            raise ValueError(
+                f"link-mask/schema mismatch: {len(robot_keys)} robot mask "
+                f"keys {robot_keys} vs {len(robot_link_names)} robot links "
+                f"{robot_link_names}; the pairing is positional, so counts "
+                "must match exactly")
 
         if rest_poses_world is None:
             rest_poses_world = SE3.identity((len(mask_list) + 1,))
