@@ -149,9 +149,13 @@ def measure_product(B=8, N=100_000, iters=5, render_size=(240, 320),
 
     def loss_of(scene, states, actions):
         w = _dc.replace(wrapper, graph=graph._replace(scene=scene))
+        # production path: static tile cache for the fixed viewport camera
+        # built once per train step, shared across the batch; the moving
+        # EEF camera full-rebins per env
+        caches = w.build_render_cache(scene)
 
         def one(s, a):
-            tr = w.step(s, a)
+            tr = w.step_with_cache(s, a, caches)
             return tr.state, (jnp.mean(tr.obs["camera_0"] ** 2)
                               + jnp.mean(tr.obs["camera_1"] ** 2))
 

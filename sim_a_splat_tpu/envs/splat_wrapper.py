@@ -232,6 +232,148 @@ class SplatEnvWrapperF:
             imgs.append(img)
         return imgs
 
+    # --- cached render path (fixed cameras reuse a static tile cache) ------
+
+    def _split_indices(self):
+        """(static_idx, dyn_idx, dyn_body_ids) — host-computed once per
+        trace; the scene-graph split behind the production cached render
+        (the reference's static ``/scene_ohne_robot`` handle,
+        splat_handler.py:104-119)."""
+        ids = np.asarray(self.graph.link_ids)
+        return (jnp.asarray(np.where(ids == 0)[0], jnp.int32),
+                jnp.asarray(np.where(ids > 0)[0], jnp.int32),
+                jnp.asarray(ids[ids > 0], jnp.int32))
+
+    def _fixed_camera(self, spec: CameraSpec) -> Camera:
+        h, w = spec.render_size
+        return Camera.from_fov(spec.pose(), spec.fov, int(w), int(h))
+
+    def build_render_cache(self, scene: GaussianScene | None = None) -> dict:
+        """Static-background tile caches + composites for every FIXED
+        camera (ops/rasterize_cached.py).  Differentiable into ``scene``;
+        rebuild whenever scene parameters change (once per train step —
+        shared across the vmapped env batch).  Moving cameras cannot be
+        cached and keep the full-rebin path."""
+        from sim_a_splat_tpu.ops.rasterize_cached import (
+            build_static_composite, build_tile_cache_raw,
+            build_tile_cache_raw_sh,
+        )
+
+        scene = self.graph.scene if scene is None else scene
+        stat_idx, _, _ = self._split_indices()
+        st = scene.select(stat_idx)
+        caches = {}
+        for key, spec in self.cameras:
+            if spec.type == "moving":
+                continue
+            cam = self._fixed_camera(spec)
+            if st.sh_rest is None:
+                cache = build_tile_cache_raw(
+                    st.means, st.quats, st.log_scales, st.colors_dc(),
+                    st.opacities(), cam, self.raster)
+            else:
+                cache = build_tile_cache_raw_sh(
+                    st.means, st.quats, st.log_scales, st.sh_coeffs(),
+                    st.opacities(), cam, self.raster, st.sh_degree)
+            caches[key] = (cache, build_static_composite(cache, cam,
+                                                         self.raster))
+        return caches
+
+    def render_with_cache(self, env_state, caches: dict,
+                          draw: DrawState | None = None,
+                          dyn_capacity: int = 128,
+                          dyn_max_tiles: int = 9) -> list:
+        """``render`` through the static tile caches: per frame only the
+        movable bodies (robot links + task) are posed, projected, and
+        binned; fixed cameras merge them against the cache with the fused
+        pair kernel, moving cameras composite static + dynamic projections
+        jointly (full rebin, no (N, 3, 3) temps)."""
+        from sim_a_splat_tpu.ops.projection import (
+            Projected, project_raw, view_directions,
+        )
+        from sim_a_splat_tpu.ops import sh as sh_ops
+        from sim_a_splat_tpu.ops.rasterize_cached import (
+            rasterize_with_cache, rasterize_with_cache_sh,
+        )
+        from sim_a_splat_tpu.ops.rasterize_tiles import render_binned
+
+        base = self._base_env()
+        if draw is None:
+            draw = base.draw_state(env_state)
+        body_poses = self._body_poses(draw)
+        rel = body_poses.compose(self.graph.rest_inv)
+        stat_idx, dyn_idx, dyn_ids = self._split_indices()
+        scene = self.graph.scene
+        dyn = scene.select(dyn_idx)
+        q_g = rel.q[dyn_ids]
+        t_g = rel.t[dyn_ids]
+        d_means = quat.rotate(q_g, dyn.means) + t_g
+        d_quats = quat.multiply(q_g, dyn.quats)
+        st = scene.select(stat_idx)
+        bg = jnp.asarray(self.background, jnp.float32)
+
+        imgs = []
+        for pose, (key, spec) in zip(self.camera_poses(env_state, draw),
+                                     self.cameras):
+            h, w = spec.render_size
+            cam = Camera.from_fov(pose, spec.fov, int(w), int(h))
+            if key in caches:
+                cache, scomp = caches[key]
+                if scene.sh_rest is None:
+                    img, _ = rasterize_with_cache(
+                        cache, d_means, None, dyn.colors_dc(),
+                        dyn.opacities(), cam, self.raster,
+                        dyn_capacity=dyn_capacity, background=bg,
+                        static_composite=scomp, dyn_max_tiles=dyn_max_tiles,
+                        dyn_quats=d_quats, dyn_log_scales=dyn.log_scales)
+                else:
+                    img, _ = rasterize_with_cache_sh(
+                        cache, d_means, None, dyn.sh_coeffs(),
+                        dyn.opacities(), cam, scene.sh_degree, self.raster,
+                        dyn_capacity=dyn_capacity, background=bg,
+                        static_composite=scomp, dyn_max_tiles=dyn_max_tiles,
+                        dyn_quats=d_quats, dyn_log_scales=dyn.log_scales)
+            else:
+                ps = project_raw(st.means, st.quats, st.log_scales, cam)
+                pd = project_raw(d_means, d_quats, dyn.log_scales, cam)
+                proj = Projected(*[jnp.concatenate([a, b])
+                                   for a, b in zip(ps, pd)])
+                opac = jnp.concatenate([st.opacities(), dyn.opacities()])
+                if scene.sh_rest is None:
+                    colors = jnp.concatenate([st.colors_dc(),
+                                              dyn.colors_dc()])
+                else:
+                    means_all = jnp.concatenate([st.means, d_means])
+                    dirs = view_directions(means_all, cam)
+                    sh_all = jnp.concatenate([st.sh_coeffs(),
+                                              dyn.sh_coeffs()])
+                    colors = sh_ops.eval_sh_color(sh_all, dirs,
+                                                  scene.sh_degree)
+                img, _ = render_binned(proj, colors, opac, cam, self.raster,
+                                       background=bg)
+            imgs.append(img)
+        return imgs
+
+    def observe_with_cache(self, env_state, inner_obs: dict,
+                           caches: dict) -> dict:
+        imgs = self.render_with_cache(env_state, caches)
+        obs = dict(inner_obs)
+        for i, img in enumerate(imgs):
+            obs[f"camera_{i}"] = jnp.moveaxis(img, -1, 0)
+        return obs
+
+    def step_with_cache(self, state, action, caches: dict,
+                        noobs: bool = False) -> SplatTransition:
+        """``step`` through the static-cache render path (the production
+        train loop: ``caches = build_render_cache(scene)`` once per train
+        step, shared across the vmapped batch)."""
+        tr = self.env.step(state, action)
+        obs = (tr.obs if noobs
+               else self.observe_with_cache(tr.state, tr.obs, caches))
+        return SplatTransition(state=tr.state, obs=obs, reward=tr.reward,
+                               terminated=tr.terminated,
+                               truncated=tr.truncated, info=tr.info)
+
     def render_camera(self, draw: DrawState, camera: Camera) -> jnp.ndarray:
         """Render the posed scene from an arbitrary camera — the
         free-viewpoint path the reference delegates to the browser client

@@ -77,6 +77,27 @@ def build_tile_cache_sh(means, covs, sh_coeffs, opacities, camera, config,
     return build_tile_cache(means, covs, colors, opacities, camera, config)
 
 
+def build_tile_cache_raw(means, quats, log_scales, colors, opacities,
+                         camera, config) -> TileCache:
+    """Cache build via the fused raw-parameter projection (project_raw) —
+    no (N, 3, 3) covariance temps."""
+    from sim_a_splat_tpu.ops.projection import project_raw
+
+    tx, ty = _grid(camera, config)
+    proj = project_raw(means, quats, log_scales, camera)
+    (gxy, gconic, gcol, gop, gdepth), counts, _ = gather_tile_lists(
+        proj, colors, opacities, config, tx, ty)
+    return TileCache(gxy, gconic, gcol, gop, gdepth, counts)
+
+
+def build_tile_cache_raw_sh(means, quats, log_scales, sh_coeffs, opacities,
+                            camera, config, sh_degree: int) -> TileCache:
+    dirs = view_directions(means, camera)
+    colors = sh_ops.eval_sh_color(sh_coeffs, dirs, sh_degree)
+    return build_tile_cache_raw(means, quats, log_scales, colors, opacities,
+                                camera, config)
+
+
 def _sort_apply(keys: jnp.ndarray, payload: jnp.ndarray) -> jnp.ndarray:
     """Reorder ``payload`` (T, K, C) rows by ascending ``keys`` (T, K) int,
     using one multi-operand ``lax.sort`` — the fast way to apply a known
@@ -212,8 +233,15 @@ def rasterize_with_cache(
     background: jnp.ndarray | None = None,
     static_composite=None,
     dyn_max_tiles: int | None = None,
+    dyn_quats: jnp.ndarray | None = None,
+    dyn_log_scales: jnp.ndarray | None = None,
 ):
     """Render static cache + dynamic gaussians → ((H, W, 3), RasterAux).
+
+    Pass EITHER ``dyn_covs`` (3×3 world covariances) OR raw parameters
+    ``dyn_quats``/``dyn_log_scales`` (with ``dyn_covs=None``) — the raw
+    route projects through the fused :func:`project_raw` and never builds
+    (N, 3, 3) temps.
 
     ``config.tile_capacity`` is the *static* capacity used when the cache
     was built; dynamic gaussians get their own ``dyn_capacity``.  The
@@ -236,7 +264,12 @@ def rasterize_with_cache(
     dyn_cfg = config._replace(tile_capacity=dyn_capacity)
     if dyn_max_tiles is not None:
         dyn_cfg = dyn_cfg._replace(max_tiles_per_gaussian=dyn_max_tiles)
-    proj = project(dyn_means, dyn_covs, camera)
+    if dyn_covs is None:
+        from sim_a_splat_tpu.ops.projection import project_raw
+
+        proj = project_raw(dyn_means, dyn_quats, dyn_log_scales, camera)
+    else:
+        proj = project(dyn_means, dyn_covs, camera)
     (dxy, dconic, dcol, dop, ddep), dcounts, dtrunc = gather_tile_lists(
         proj, dyn_colors, dyn_opacities, dyn_cfg, tx, ty)
     dyn = TileCache(dxy, dconic, dcol, dop, ddep, dcounts)
@@ -300,10 +333,13 @@ def rasterize_with_cache_sh(cache, dyn_means, dyn_covs, dyn_sh, dyn_opac,
                             camera, sh_degree: int, config,
                             dyn_capacity: int = 128, background=None,
                             static_composite=None,
-                            dyn_max_tiles: int | None = None):
+                            dyn_max_tiles: int | None = None,
+                            dyn_quats=None, dyn_log_scales=None):
     dirs = view_directions(dyn_means, camera)
     colors = sh_ops.eval_sh_color(dyn_sh, dirs, sh_degree)
     return rasterize_with_cache(cache, dyn_means, dyn_covs, colors, dyn_opac,
                                 camera, config, dyn_capacity, background,
                                 static_composite=static_composite,
-                                dyn_max_tiles=dyn_max_tiles)
+                                dyn_max_tiles=dyn_max_tiles,
+                                dyn_quats=dyn_quats,
+                                dyn_log_scales=dyn_log_scales)
