@@ -63,7 +63,12 @@ def main():
     raster = RasterConfig(tile_size=16, tile_capacity=cap,
                           max_tiles_per_gaussian=16, chunk=128,
                           sigma_cutoff=3.0, backend=backend,
-                          term_eps=term if term > 0 else None)
+                          term_eps=term if term > 0 else None,
+                          # footprint-bucketed binning: measured nt
+                          # distribution of the bench scene is P50=4,
+                          # P99≤9 (max 9), so this is truncation-free and
+                          # shrinks the static prepare sort ~3×
+                          buckets=((4, 0.80), (9, 0.12), (16, 0.08)))
 
     dyn_cap = int(os.environ.get("BENCH_DYN_CAP", "128"))
     dyn_m = int(os.environ.get("BENCH_DYN_M", "9"))
@@ -79,7 +84,7 @@ def main():
         actions = jnp.tile(jnp.asarray([150.0, 250.0], jnp.float32), (nb, 1))
         if cached == "moving":
             mv_raster = raster._replace(
-                buckets=((4, 0.55), (9, 0.30), (16, 0.15)))
+                buckets=((4, 0.80), (9, 0.12), (16, 0.08)))
             step, P = _make_step_moving(graph_, RES, RES, mv_raster)
 
             def loss_of(scene, states, actions):

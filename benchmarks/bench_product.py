@@ -114,7 +114,9 @@ def build_product_wrapper(n_total=100_000, sh_degree=3, seed=0,
         raster = RasterConfig(
             tile_capacity=1024, chunk=128, sigma_cutoff=3.0,
             backend="pallas", term_eps=1e-4,
-            buckets=((4, 0.55), (9, 0.30), (16, 0.15)))
+            # measured footprints (viewport cam, /tmp scene probe): 51%
+            # culled, mean nt 2.2, P90=4, P99=6, rare huge outliers
+            buckets=((2, 0.70), (6, 0.20), (16, 0.10)))
     wrapper = SplatEnvWrapperF.build(
         env=env, scene=scene, link_masks=masks, camera_setup_info=cameras,
         task_mask_key="task", rest_poses_world=SE3(rest_q, rest_t),

@@ -89,6 +89,7 @@ def test_draw_state_schema():
 
 
 @needs_xarm
+@pytest.mark.slow
 def test_eef_wrapper_step_and_ik_failure():
     env = make_env(env_objects=False)
     wrapper = ManipulatorEEFWrapper(env)
@@ -114,6 +115,7 @@ def test_eef_wrapper_step_and_ik_failure():
 
 
 @needs_xarm
+@pytest.mark.slow
 def test_eef_pushes_block():
     envf_env = make_env(seed=3)
     f = envf_env.env_f

@@ -16,6 +16,7 @@ from sim_a_splat_tpu.physics import kinematics as kin
 from sim_a_splat_tpu.scenegraph import (
     overlay_frame_poses, urdf_overlay_graph, visual_mesh,
 )
+import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 SCARA = REPO / "robot_description/pushscara3/urdf/pushscara3.urdf"
@@ -85,6 +86,7 @@ def test_overlay_graph_moves_with_fk():
     assert d > 0.05
 
 
+@pytest.mark.slow
 def test_overlay_renders():
     c = kin.load_chain(ARM5)
     overlay = urdf_overlay_graph(c, jnp.zeros(5), n_per_link=40)

@@ -12,6 +12,7 @@ from sim_a_splat_tpu.ops.rasterize_cached import (
 )
 from sim_a_splat_tpu.ops.transforms import SE3
 from sim_a_splat_tpu.splat import synthetic_scene
+import pytest
 
 CFG_X = RasterConfig(tile_capacity=256, chunk=64, sigma_cutoff=3.0)
 CFG_P = CFG_X._replace(backend="pallas_interpret", chunk=128)
@@ -38,6 +39,7 @@ def test_forward_matches_xla():
                                np.asarray(aux_ref.depth)[m], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_backward_matches_autodiff_all_params():
     scene, cam = setup(150)
     target = jnp.full((32, 48, 3), 0.4)
@@ -60,6 +62,7 @@ def test_backward_matches_autodiff_all_params():
                                    err_msg=f"grad mismatch: {name}")
 
 
+@pytest.mark.slow
 def test_pallas_with_static_cache():
     scene, cam = setup(200)
     static = scene.select(jnp.arange(150))

@@ -73,6 +73,7 @@ def test_pair_matches_plain_rasterizer():
 
 
 @pytest.mark.parametrize("static_skip", [False, True])
+@pytest.mark.slow
 def test_pair_gradients_match_merge(static_skip):
     static, dyn, cam = setup(n_static=200, n_dyn=50)
 

@@ -99,6 +99,7 @@ def test_env_sharded_rollout():
     np.testing.assert_allclose(np.asarray(obs[-1]), np.asarray(o2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_shard_vmap_step():
     mesh = make_mesh()
     P_ = PushTParams()

@@ -9,6 +9,7 @@ from sim_a_splat_tpu.splat import (
     load_ply, save_ply, split_gaussians, synthetic_scene,
 )
 from sim_a_splat_tpu.splat.pipeline import load_dataparser_transform
+import pytest
 
 
 def make_pipeline(n=80, sh_degree=1):
@@ -22,6 +23,7 @@ def cam_pose(z=-3.0):
     return SE3(jnp.asarray([1.0, 0, 0, 0]), jnp.asarray([0.0, 0.0, z]))
 
 
+@pytest.mark.slow
 def test_render_output_contract():
     p = make_pipeline()
     out = p.render(cam_pose(), fov_y=0.8, width=48, height=32)
@@ -67,6 +69,7 @@ def test_split_keeps_distribution():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_rgbd_backprojection_geometry():
     # single small gaussian at origin, camera at -2: back-projected points
     # must sit near the origin

@@ -10,6 +10,7 @@ from sim_a_splat_tpu.envs import (
 from sim_a_splat_tpu.envs.pusht_envs import PushTEnvF
 from sim_a_splat_tpu.envs import keypoints as kp_mod, render2d
 from sim_a_splat_tpu.physics.pusht import PushTParams
+import pytest
 
 
 def test_state_env_api_parity():
@@ -102,6 +103,7 @@ def test_gym_registration():
     assert obs.shape == (40,)
 
 
+@pytest.mark.slow
 def test_functional_vmap_batch():
     env_f = PushTEnvF(obs_mode="state")
     keys = jax.random.split(jax.random.key(1), 8)
@@ -113,6 +115,7 @@ def test_functional_vmap_batch():
     assert tr.reward.shape == (8,)
 
 
+@pytest.mark.slow
 def test_set_state_local_goal_relative():
     """_set_state_local composes the local block pose with the goal pose
     (reference pusht_env.py:312-329): zero local pose ⇒ block exactly at

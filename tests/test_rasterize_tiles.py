@@ -14,6 +14,7 @@ from sim_a_splat_tpu.ops.projection import Camera
 from sim_a_splat_tpu.ops.rasterize_reference import render_reference
 from sim_a_splat_tpu.ops.rasterize_tiles import RasterConfig, rasterize, rasterize_sh
 from sim_a_splat_tpu.splat import synthetic_scene
+import pytest
 
 CFG = RasterConfig(tile_size=16, tile_capacity=512, max_tiles_per_gaussian=16,
                    chunk=64, sigma_cutoff=3.0)
@@ -43,6 +44,7 @@ def test_matches_reference_image():
                                    atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_matches_reference_with_background_and_depth():
     scene, covs, colors, opac = scene_inputs(n=120, seed=4)
     cam = make_camera(width=32, height=32)
@@ -59,6 +61,7 @@ def test_matches_reference_with_background_and_depth():
                                atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_gradients_match_reference():
     scene, covs0, colors, opac = scene_inputs(n=80, seed=2)
     cam = make_camera(width=24, height=24)
@@ -80,6 +83,7 @@ def test_gradients_match_reference():
                                    atol=1e-5, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_bucketed_binning_matches_uniform():
     """Radius-bucketed binning (config.buckets) must produce the same image
     and gradients as the uniform-M path when no bucket truncates."""
@@ -159,6 +163,7 @@ def test_project_raw_matches_project():
                                    atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_sh_path_matches_reference():
     from sim_a_splat_tpu.ops.rasterize_reference import render_reference_sh
 

@@ -11,6 +11,7 @@ from sim_a_splat_tpu.ops.rasterize_reference import (
     render_reference, render_reference_sh, ALPHA_MIN, ALPHA_CLAMP,
 )
 from sim_a_splat_tpu.splat import synthetic_scene
+import pytest
 
 
 def make_camera(width=32, height=24, fov=0.8, z=-3.0):
@@ -72,6 +73,7 @@ def numpy_render(means, covs, colors, opacities, cam):
     return img
 
 
+@pytest.mark.slow
 def test_matches_independent_numpy_renderer():
     scene = synthetic_scene(40, seed=0, extent=0.8, scale_range=(0.05, 0.2))
     cam = make_camera()
@@ -133,6 +135,7 @@ def test_occlusion_ordering():
     assert img[8, 8, 1] < 0.1
 
 
+@pytest.mark.slow
 def test_differentiable():
     scene = synthetic_scene(12, seed=1, extent=0.5, scale_range=(0.05, 0.15))
     cam = make_camera(width=16, height=16)
@@ -150,6 +153,7 @@ def test_differentiable():
     assert float(jnp.abs(g_means).max()) > 0
 
 
+@pytest.mark.slow
 def test_gradcheck_vs_finite_differences():
     from jax.test_util import check_grads
 

@@ -79,6 +79,7 @@ def test_artifact_schema(assets):
     assert mesh.num_faces == 24
 
 
+@pytest.mark.slow
 def test_obs_contract(splat_env):
     obs0 = splat_env.reset(reset_to_state={
         "robot_pos": [0.0] * 6, "block_pos": [0, 0, 0, 0],
