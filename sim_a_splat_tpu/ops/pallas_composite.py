@@ -60,6 +60,24 @@ def _cumsum_lanes(x: jnp.ndarray, C: int) -> jnp.ndarray:
     return x
 
 
+def _cumprod_lanes(x: jnp.ndarray, C: int) -> jnp.ndarray:
+    """Inclusive prefix PRODUCT along lanes (Hillis-Steele with ones
+    shifted in).  Replaces the log-space cumsum + exp pair wherever the
+    cross-list indicator matmuls don't force log space: a 128-term fp32
+    product of (1−α) terms underflows only past T≈1e-38, far below the
+    1e-4 early-termination threshold, and saves two transcendentals
+    (log1p + exp) per list entry — the VPU hot spot of the compositing
+    kernels."""
+    s = 1
+    P = x.shape[0]
+    while s < C:
+        shifted = jnp.concatenate(
+            [jnp.ones((P, s), x.dtype), x[:, : C - s]], axis=1)
+        x = x * shifted
+        s *= 2
+    return x
+
+
 def _chunk_geometry(payload_ref, c0, px, py, power_min):
     """Recompute alphas etc for one chunk: returns (P, C) blocks."""
     C = CHUNK
@@ -122,15 +140,15 @@ def _fwd_kernel(count_ref, skip_ref, payload_ref, out_ref, carry_ref,
             c0 = c * CHUNK
             alpha, _, _, _, _, _, _, _ = _chunk_geometry(
                 payload_ref, c0, px, py, power_min)
-            l = jnp.log1p(-alpha)
-            cs = _cumsum_lanes(l, CHUNK)                   # (P, C)
+            om = 1.0 - alpha                               # ≥ 1 − ALPHA_CLAMP
+            cp = _cumprod_lanes(om, CHUNK)                 # (P, C)
             tc = tc_ref[...]
-            w = alpha * jnp.exp(cs - l) * tc               # (P, C)
+            w = alpha * (cp / om) * tc                     # excl-prefix × T
             crgbd = payload_ref[_ROW_RGBD, c0:c0 + CHUNK]  # (4, C)
             acc_ref[...] += jax.lax.dot_general(
                 w, crgbd, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            tc_new = tc * jnp.exp(cs[:, CHUNK - 1:CHUNK])
+            tc_new = tc * cp[:, CHUNK - 1:CHUNK]
             tc_ref[...] = tc_new
             if term_eps is not None:
                 alive_ref[0] = (jnp.max(tc_new) >= term_eps).astype(jnp.int32)
@@ -177,9 +195,9 @@ def _bwd_kernel(count_ref, skip_ref, payload_ref, ct_ref, fwd_ref, carry_ref,
             tc = carry_ref[:, c:c + 1]                     # (P, 1)
             alpha, active, expp, dx, dy, ca, cb, cc = _chunk_geometry(
                 payload_ref, c0, px, py, power_min)
-            l = jnp.log1p(-alpha)
-            cs = _cumsum_lanes(l, CHUNK)
-            texcl_tc = jnp.exp(cs - l) * tc                # w/α (safe at α=0)
+            om = 1.0 - alpha
+            cp = _cumprod_lanes(om, CHUNK)
+            texcl_tc = (cp / om) * tc                      # w/α (safe at α=0)
             w = alpha * texcl_tc
             crgbd = payload_ref[_ROW_RGBD, c0:c0 + CHUNK]  # (4, C)
 

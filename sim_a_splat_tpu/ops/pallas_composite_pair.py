@@ -57,7 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 from sim_a_splat_tpu.ops.rasterize_reference import ALPHA_CLAMP
 from sim_a_splat_tpu.ops.pallas_composite import (
     CHUNK, _ROW_CA, _ROW_CB, _ROW_CC, _ROW_OP, _ROW_RGBD, _ROW_X, _ROW_Y,
-    _chunk_geometry, _cumsum_lanes, _pixel_coords,
+    _chunk_geometry, _cumprod_lanes, _cumsum_lanes, _pixel_coords,
 )
 
 _ROW_DEPTH = 8
@@ -249,14 +249,16 @@ def _bwd_kernel(cs_ref, cd_ref, skip_ref, spay_ref, dpay_ref, ct_ref,
         def _():
             alpha, active, expp, dx, dy, ca, cb, cc = _chunk_geometry(
                 spay_ref, c0, px, py, power_min)
-            ls = jnp.log1p(-alpha)
-            cs = _cumsum_lanes(ls, CHUNK)
+            om = 1.0 - alpha
+            cp = _cumprod_lanes(om, CHUNK)
             ind, _ = _static_chunk_ind(spay_ref, c0, dd)
             bdwd = bdwd_ref[...]
             logtd = (jnp.sum(ld_ref[...], axis=1, keepdims=True)
                      - _dot(ld_ref[...], ind, ((1,), (1,)), exact=True))
             tsv = ts_ref[...]
-            texcl_u = jnp.exp(cs - ls + logtd) * tsv          # w/α
+            # pass B needs no static logs (unlike pass A's ltsd matmul) —
+            # multiplicative exclusive prefix saves a log1p per entry
+            texcl_u = (cp / om) * jnp.exp(logtd) * tsv        # w/α
             w = alpha * texcl_u
             crgbd = spay_ref[_ROW_RGBD, c0:c0 + CHUNK]
             bs = _dot(ct_rgbd, crgbd, ((1,), (0,)))           # (P, C)
@@ -290,7 +292,7 @@ def _bwd_kernel(cs_ref, cd_ref, skip_ref, spay_ref, dpay_ref, ct_ref,
             # static cotangent mass in front of each dynamic entry
             sdyn_ref[...] += _dot(bw, ind, ((1,), (0,)), exact=True)
             prefix_ref[...] += incl[:, CHUNK - 1:CHUNK]
-            ts_ref[...] = tsv * jnp.exp(cs[:, CHUNK - 1:CHUNK])
+            ts_ref[...] = tsv * cp[:, CHUNK - 1:CHUNK]
 
     # ---- dynamic gradients
     @pl.when(count_d > 0)
