@@ -34,14 +34,16 @@ def run_example(args, timeout=420):
 def test_demo_pusht_splat_headless(tmp_path):
     r = run_example(["examples/demo_pusht_splat.py", "--steps", "3",
                      "--render_size", "48", "--out", str(tmp_path)])
-    assert list(tmp_path.glob("*.png")), "no frames written"
+    frames = list(tmp_path.glob("*.png")) + list(tmp_path.glob("*.ppm"))
+    assert frames, "no frames written"
 
 
 @pytest.mark.slow
 def test_demo_joint_sliders_headless(tmp_path):
     run_example(["examples/demo_joint_sliders_splat.py", "--steps", "3",
                  "--out", str(tmp_path)])
-    assert list(tmp_path.glob("*.png")), "no frames written"
+    frames = list(tmp_path.glob("*.png")) + list(tmp_path.glob("*.ppm"))
+    assert frames, "no frames written"
 
 
 @pytest.mark.slow
