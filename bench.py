@@ -30,7 +30,8 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import (
-        _build_scene, _make_step, _make_step_cached, _make_step_moving,
+        _build_scene, _make_step, _make_step_cached, _make_step_cached_batch,
+        _make_step_moving,
     )
     from sim_a_splat_tpu.ops.rasterize_tiles import RasterConfig
     from sim_a_splat_tpu.physics import pusht
@@ -65,14 +66,24 @@ def main():
                           sigma_cutoff=3.0, backend=backend,
                           term_eps=term if term > 0 else None,
                           # footprint-bucketed binning: measured nt
-                          # distribution of the bench scene is P50=4,
-                          # P99≤9 (max 9), so this is truncation-free and
-                          # shrinks the static prepare sort ~3×
-                          buckets=((4, 0.80), (9, 0.12), (16, 0.08)))
+                          # distribution of the bench scene is p50=4,
+                          # p99=6, max=9 — the top-4% 9-slot bucket covers
+                          # every gaussian with nt>6, so this is
+                          # truncation-free (r3: image bit-identical to the
+                          # old ((4,.8),(9,.12),(16,.08)) buckets) and
+                          # shrinks the static binning sort a further ~23%
+                          buckets=((4, 0.90), (6, 0.06), (9, 0.04)))
 
     dyn_cap = int(os.environ.get("BENCH_DYN_CAP", "128"))
     dyn_m = int(os.environ.get("BENCH_DYN_M", "9"))
     skip = os.environ.get("BENCH_SKIP", "1") != "0"
+    # selected-tile batched kernel (ops/pallas_composite_sel): composite only
+    # the tiles the dynamic gaussians touch, via a scalar-prefetched (B, TT)
+    # grid.  sel_tiles bounds touched tiles per env (overflow falls back to
+    # the static composite and is counted in aux; 96 covers the bench scene
+    # with ~0 overflow — loss is bit-identical to the per-env pair path)
+    sel_tiles = int(os.environ.get("BENCH_SEL_TILES", "96"))
+    use_sel = os.environ.get("BENCH_SEL", "1") != "0"
 
     def measure(label, graph_, cached, iters, nb=B):
         """Compile + time one configuration; returns frames/s.
@@ -91,10 +102,21 @@ def main():
                 new_states, imgs = jax.vmap(
                     lambda s, a: step(scene, s, a))(states, actions)
                 return jnp.mean(imgs ** 2), new_states
+        elif cached and use_sel and backend == "pallas":
+            # production env path, round-3 kernel: static background binned
+            # + composited once per train step; per-env dynamic lists are
+            # compacted to the ≤ sel_tiles touched tiles and composited in
+            # ONE (B, TT)-grid scalar-prefetch pallas launch
+            prepare, step_b, P = _make_step_cached_batch(
+                graph_, RES, RES, raster, dyn_capacity=dyn_cap,
+                sel_tiles=sel_tiles, dyn_max_tiles=dyn_m)
+
+            def loss_of(scene, states, actions):
+                cache = prepare(scene)
+                new_states, imgs = step_b(cache, scene, states, actions)
+                return jnp.mean(imgs ** 2), new_states
         elif cached:
-            # production env path: static background projected + binned once
-            # per train step (shared across the batch); per-env work is
-            # dynamic-only, untouched tiles reuse the static composite
+            # per-env fused-pair/merge path (pre-round-3; BENCH_SEL=0)
             prepare, step_c, P = _make_step_cached(
                 graph_, RES, RES, raster, dyn_capacity=dyn_cap,
                 static_skip=skip, dyn_max_tiles=dyn_m)

@@ -1,0 +1,446 @@
+"""Touched-tile-compacted fused compositing — the batched production path.
+
+The fused pair kernel (ops/pallas_composite_pair.py) runs its grid over ALL
+T tiles of every env: untouched tiles (no dynamic gaussians — most of the
+image in the env loop, the reference's static ``/scene_ohne_robot`` split,
+splat_handler.py:104-119) still DMA their (10, Ks) static payload block
+into VMEM and execute a guarded no-op grid step, and the backward emits a
+full (T, 10, Ks) static-cotangent block per env.  At B=32 envs that is
+~80 % wasted DMA and grid occupancy.
+
+This kernel runs its grid over only the **selected** (dynamic-touched)
+tiles of each env — a (B, TT) grid driven by a scalar-prefetched tile-id
+table (``pltpu.PrefetchScalarGridSpec``):
+
+- ``ids[b, i]`` names the tile the (b, i) grid step composites; the static
+  payload block, the output block, and (backward) the cotangent blocks are
+  all index-mapped through it, so only selected tiles move between HBM and
+  VMEM.  Slots past the env's touched-tile count carry the pad id T and
+  write an empty composite into a dedicated trash row.
+- per-tile static/dynamic counts ride the scalar prefetch too (SMEM reads
+  ``cs_ref[tid]``), replacing the pair kernel's lane-replicated VMEM hack.
+- forward output is (B, T+1, P, 8) written only at selected rows — the
+  caller MUST select against the once-per-step static composite
+  (``build_static_composite``) before consuming (unvisited rows are
+  uninitialized), which the cached render path does anyway.
+- backward emits *compacted* (B, TT, 10, K) gradient blocks; the shared
+  static cache cotangent is recovered with one exact one-hot MXU
+  contraction over the B·TT selected slots (``_scatter_rows``) — no
+  scatters, no atomics, no (B, T, 10, Ks) dense temps.
+
+The compositing math is identical to ops/pallas_composite_pair.py (same
+interleaved-transmittance factorization, tie-breaks, termination and
+gradient formulas); outputs agree with the merged-list path to fp32
+rounding.  Reference behavior matched: gsplat CUDA rasterizer semantics
+(invoked by the reference via nerfstudio, ns_utils/nerfstudio_utils.py:166).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sim_a_splat_tpu.ops.rasterize_reference import ALPHA_CLAMP
+from sim_a_splat_tpu.ops.pallas_composite import (
+    CHUNK, _ROW_CA, _ROW_CB, _ROW_CC, _ROW_OP, _ROW_RGBD, _ROW_X, _ROW_Y,
+    _chunk_geometry, _cumprod_lanes, _cumsum_lanes,
+)
+from sim_a_splat_tpu.ops.pallas_composite_pair import (
+    _ROW_DEPTH, _dot, _dyn_log_alphas, _static_chunk_ind,
+)
+
+
+def _pixel_coords_tid(tid, ts: int, tx: int, dtype):
+    """(P, 1) pixel-center coords of tile ``tid`` (traced scalar)."""
+    ox = ((tid % tx) * ts).astype(dtype)
+    oy = ((tid // tx) * ts).astype(dtype)
+    P = ts * ts
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (pidx % ts).astype(dtype) + 0.5 + ox
+    py = (pidx // ts).astype(dtype) + 0.5 + oy
+    return px, py
+
+
+def _fwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, out_ref,
+                acc_ref, ts_ref, ld_ref, ad_ref, ltsd_ref, alive_ref,
+                *, ts, tx, ncs, ndc, power_min, term_eps, exact):
+    P = ts * ts
+    f32 = spay_ref.dtype
+    Kd = dpay_ref.shape[-1]
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    tid = ids_ref[b, i]
+    px, py = _pixel_coords_tid(tid, ts, tx, f32)
+    count_s = cs_ref[tid]          # pad slots: tid = T ⇒ cs_ref[T] = 0
+    count_d = cd_ref[b, i]
+
+    acc_ref[...] = jnp.zeros((P, 4), f32)
+    ts_ref[...] = jnp.ones((P, 1), f32)
+    ld_ref[...] = jnp.zeros((P, Kd), f32)
+    ad_ref[...] = jnp.zeros((P, Kd), f32)
+    ltsd_ref[...] = jnp.zeros((P, Kd), f32)
+    alive_ref[0] = jnp.int32(1)
+
+    _dyn_log_alphas(dpay_ref, count_d, px, py, power_min, ld_ref, ad_ref, ndc)
+    dd = dpay_ref[_ROW_DEPTH:_ROW_DEPTH + 1, :]               # (1, Kd)
+
+    for c in range(ncs):                                      # static unroll
+        c0 = c * CHUNK
+
+        @pl.when((alive_ref[0] == 1) & (c0 < count_s))
+        def _():
+            alpha, _, _, _, _, _, _, _ = _chunk_geometry(
+                spay_ref, c0, px, py, power_min)
+            ls = jnp.log1p(-alpha)
+            cs = _cumsum_lanes(ls, CHUNK)
+            ind, ds = _static_chunk_ind(spay_ref, c0, dd)     # (C, Kd)
+            ld = ld_ref[...]
+            sum_ld = jnp.sum(ld, axis=1, keepdims=True)       # (P, 1)
+            logtd = sum_ld - _dot(ld, ind, ((1,), (1,)), exact=exact)  # (P, C)
+            tsv = ts_ref[...]
+            w = alpha * jnp.exp(cs - ls + logtd) * tsv        # (P, C)
+            crgbd = spay_ref[_ROW_RGBD, c0:c0 + CHUNK]        # (4, C)
+            acc_ref[...] += _dot(w, crgbd, ((1,), (1,)))
+            ltsd_ref[...] += _dot(ls, ind, ((1,), (0,)), exact=exact)  # (P, Kd)
+            ts_new = tsv * jnp.exp(cs[:, CHUNK - 1:CHUNK])
+            ts_ref[...] = ts_new
+            if term_eps is not None:
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+                act = lane < (count_s - c0)
+                dbound = jnp.max(jnp.where(act, ds, -jnp.inf))
+                indb = (dd < dbound).astype(f32)              # (1, Kd)
+                td_b = jnp.exp(_dot(ld, indb, ((1,), (1,)), exact=exact))
+                alive_ref[0] = (jnp.max(ts_new * td_b)
+                                >= term_eps).astype(jnp.int32)
+
+    @pl.when(count_d > 0)
+    def _():
+        ld = ld_ref[...]
+        csd = _cumsum_lanes(ld, Kd)
+        wd = ad_ref[...] * jnp.exp(csd - ld + ltsd_ref[...])  # (P, Kd)
+        crgbd_d = dpay_ref[_ROW_RGBD, :]                      # (4, Kd)
+        acc_ref[...] += _dot(wd, crgbd_d, ((1,), (1,)))
+
+    sum_ld = jnp.sum(ld_ref[...], axis=1, keepdims=True)
+    out_ref[:, 0:4] = acc_ref[...]
+    out_ref[:, 4:5] = ts_ref[...] * jnp.exp(sum_ld)
+    out_ref[:, 5:8] = jnp.zeros((P, 3), f32)
+
+
+def _bwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, ct_ref,
+                fwd_ref, gs_ref, gd_ref,
+                ts_ref, ld_ref, ad_ref, ltsd_ref, prefix_ref, sdyn_ref,
+                bdwd_ref, applied_ref,
+                *, ts, tx, ncs, ndc, power_min, term_eps, exact_fwd,
+                exact_bwd):
+    P = ts * ts
+    f32 = spay_ref.dtype
+    Kd = dpay_ref.shape[-1]
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    tid = ids_ref[b, i]
+    px, py = _pixel_coords_tid(tid, ts, tx, f32)
+    count_s = cs_ref[tid]
+    count_d = cd_ref[b, i]
+
+    gs_ref[...] = jnp.zeros_like(gs_ref)
+    gd_ref[...] = jnp.zeros_like(gd_ref)
+    ts_ref[...] = jnp.ones((P, 1), f32)
+    ld_ref[...] = jnp.zeros((P, Kd), f32)
+    ad_ref[...] = jnp.zeros((P, Kd), f32)
+    ltsd_ref[...] = jnp.zeros((P, Kd), f32)
+    sdyn_ref[...] = jnp.zeros((P, Kd), f32)
+    prefix_ref[...] = jnp.zeros((P, 1), f32)
+    applied_ref[0] = jnp.int32(1)        # running alive bit during pass A
+
+    _dyn_log_alphas(dpay_ref, count_d, px, py, power_min, ld_ref, ad_ref, ndc)
+    dd = dpay_ref[_ROW_DEPTH:_ROW_DEPTH + 1, :]
+
+    # ---- pass A: replay the forward's sequential transmittance state ----
+    for c in range(ncs):
+        c0 = c * CHUNK
+        applied_ref[1 + c] = jnp.where(
+            (applied_ref[0] == 1) & (c0 < count_s), 1, 0).astype(jnp.int32)
+
+        @pl.when(applied_ref[1 + c] == 1)
+        def _():
+            alpha, _, _, _, _, _, _, _ = _chunk_geometry(
+                spay_ref, c0, px, py, power_min)
+            ls = jnp.log1p(-alpha)
+            ind, ds = _static_chunk_ind(spay_ref, c0, dd)
+            ltsd_ref[...] += _dot(ls, ind, ((1,), (0,)), exact=exact_bwd)
+            cs = _cumsum_lanes(ls, CHUNK)
+            ts_new = ts_ref[...] * jnp.exp(cs[:, CHUNK - 1:CHUNK])
+            ts_ref[...] = ts_new
+            if term_eps is not None:
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+                act = lane < (count_s - c0)
+                dbound = jnp.max(jnp.where(act, ds, -jnp.inf))
+                indb = (dd < dbound).astype(f32)
+                td_b = jnp.exp(_dot(ld_ref[...], indb, ((1,), (1,)),
+                                    exact=exact_fwd))
+                applied_ref[0] = (jnp.max(ts_new * td_b)
+                                  >= term_eps).astype(jnp.int32)
+
+    ct_rgbd = ct_ref[:, 0:4]                                  # (P, 4)
+    ct_tc = ct_ref[:, 4:5]
+    s_tot = jnp.sum(ct_rgbd * fwd_ref[:, 0:4], axis=1, keepdims=True)
+    trans_term = ct_tc * fwd_ref[:, 4:5]
+
+    ld = ld_ref[...]
+    ad = ad_ref[...]
+    csd = _cumsum_lanes(ld, Kd)
+    texcl_d = jnp.exp(csd - ld + ltsd_ref[...])               # (P, Kd)
+    wd = ad * texcl_d
+    crgbd_d = dpay_ref[_ROW_RGBD, :]
+    bd = _dot(ct_rgbd, crgbd_d, ((1,), (0,)))                 # (P, Kd)
+    bdwd_ref[...] = bd * wd
+    sum_bdwd = jnp.sum(bdwd_ref[...], axis=1, keepdims=True)  # (P, 1)
+
+    # ---- pass B: static gradients with union suffix sums ----
+    ts_ref[...] = jnp.ones((P, 1), f32)
+    for c in range(ncs):
+        c0 = c * CHUNK
+
+        @pl.when(applied_ref[1 + c] == 1)
+        def _():
+            alpha, active, expp, dx, dy, ca, cb, cc = _chunk_geometry(
+                spay_ref, c0, px, py, power_min)
+            om = 1.0 - alpha
+            cp = _cumprod_lanes(om, CHUNK)
+            ind, _ = _static_chunk_ind(spay_ref, c0, dd)
+            bdwd = bdwd_ref[...]
+            logtd = (jnp.sum(ld_ref[...], axis=1, keepdims=True)
+                     - _dot(ld_ref[...], ind, ((1,), (1,)), exact=exact_bwd))
+            tsv = ts_ref[...]
+            texcl_u = (cp / om) * jnp.exp(logtd) * tsv        # w/α
+            w = alpha * texcl_u
+            crgbd = spay_ref[_ROW_RGBD, c0:c0 + CHUNK]
+            bs = _dot(ct_rgbd, crgbd, ((1,), (0,)))           # (P, C)
+            bw = bs * w
+            incl = _cumsum_lanes(bw, CHUNK)
+            sd_before = sum_bdwd - _dot(bdwd, ind, ((1,), (1,)), exact=exact_bwd)
+            suffix = s_tot - (prefix_ref[...] + incl + sd_before)
+            one_m = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_CLAMP)
+            dalpha = bs * texcl_u - (suffix + trans_term) / one_m
+
+            dop_pc = dalpha * expp * active
+            dpower = dalpha * alpha * active
+            ddx = dpower * (-(ca * dx + cb * dy))
+            ddy = dpower * (-(cc * dy + cb * dx))
+            sl = slice(c0, c0 + CHUNK)
+            gs_ref[_ROW_X:_ROW_X + 1, sl] = -jnp.sum(
+                ddx, axis=0, keepdims=True)
+            gs_ref[_ROW_Y:_ROW_Y + 1, sl] = -jnp.sum(
+                ddy, axis=0, keepdims=True)
+            gs_ref[_ROW_CA:_ROW_CA + 1, sl] = jnp.sum(
+                dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
+            gs_ref[_ROW_CB:_ROW_CB + 1, sl] = jnp.sum(
+                dpower * (-dx * dy), axis=0, keepdims=True)
+            gs_ref[_ROW_CC:_ROW_CC + 1, sl] = jnp.sum(
+                dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
+            gs_ref[_ROW_RGBD, sl] = _dot(ct_rgbd, w, ((0,), (0,)))
+            gs_ref[_ROW_OP:_ROW_OP + 1, sl] = jnp.sum(
+                dop_pc, axis=0, keepdims=True)
+
+            sdyn_ref[...] += _dot(bw, ind, ((1,), (0,)), exact=exact_bwd)
+            prefix_ref[...] += incl[:, CHUNK - 1:CHUNK]
+            ts_ref[...] = tsv * cp[:, CHUNK - 1:CHUNK]
+
+    # ---- dynamic gradients ----
+    @pl.when(count_d > 0)
+    def _():
+        incl_d = _cumsum_lanes(bdwd_ref[...], Kd)
+        suffix_d = s_tot - (sdyn_ref[...] + incl_d)
+        one_m_d = jnp.maximum(1.0 - ad, 1.0 - ALPHA_CLAMP)
+        dalpha_d = bd * texcl_d - (suffix_d + trans_term) / one_m_d
+        for dc in range(ndc):
+            c0 = dc * CHUNK
+
+            @pl.when(c0 < count_d)
+            def _():
+                alpha, active, expp, dx, dy, ca, cb, cc = _chunk_geometry(
+                    dpay_ref, c0, px, py, power_min)
+                da = dalpha_d[:, c0:c0 + CHUNK]
+                dop_pc = da * expp * active
+                dpower = da * alpha * active
+                ddx = dpower * (-(ca * dx + cb * dy))
+                ddy = dpower * (-(cc * dy + cb * dx))
+                sl = slice(c0, c0 + CHUNK)
+                gd_ref[_ROW_X:_ROW_X + 1, sl] = -jnp.sum(
+                    ddx, axis=0, keepdims=True)
+                gd_ref[_ROW_Y:_ROW_Y + 1, sl] = -jnp.sum(
+                    ddy, axis=0, keepdims=True)
+                gd_ref[_ROW_CA:_ROW_CA + 1, sl] = jnp.sum(
+                    dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
+                gd_ref[_ROW_CB:_ROW_CB + 1, sl] = jnp.sum(
+                    dpower * (-dx * dy), axis=0, keepdims=True)
+                gd_ref[_ROW_CC:_ROW_CC + 1, sl] = jnp.sum(
+                    dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
+                gd_ref[_ROW_RGBD, sl] = _dot(
+                    ct_rgbd, wd[:, c0:c0 + CHUNK], ((0,), (0,)))
+                gd_ref[_ROW_OP:_ROW_OP + 1, sl] = jnp.sum(
+                    dop_pc, axis=0, keepdims=True)
+
+
+def _call_fwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ts, tx,
+              power_min, interpret, term_eps, exact):
+    T1, _, Ks = spay_pad.shape
+    B, TT = ids.shape
+    Kd = dpay.shape[-1]
+    P = ts * ts
+    kern = functools.partial(
+        _fwd_kernel, ts=ts, tx=tx, ncs=Ks // CHUNK, ndc=Kd // CHUNK,
+        power_min=power_min, term_eps=term_eps, exact=exact)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, TT),
+        in_specs=[
+            pl.BlockSpec((None, 10, Ks),
+                         lambda b, i, ids, cs, cd: (ids[b, i], 0, 0)),
+            pl.BlockSpec((None, None, 10, Kd),
+                         lambda b, i, ids, cs, cd: (b, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, None, P, 8), lambda b, i, ids, cs, cd: (b, ids[b, i], 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((P, 4), spay_pad.dtype),
+            pltpu.VMEM((P, 1), spay_pad.dtype),
+            pltpu.VMEM((P, Kd), spay_pad.dtype),
+            pltpu.VMEM((P, Kd), spay_pad.dtype),
+            pltpu.VMEM((P, Kd), spay_pad.dtype),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T1, P, 8), spay_pad.dtype),
+        interpret=interpret,
+    )(ids, counts_s_pad, counts_d, spay_pad, dpay)
+
+
+def _call_bwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ct, fwd_out,
+              ts, tx, power_min, interpret, term_eps, exact_fwd,
+              exact_bwd):
+    T1, _, Ks = spay_pad.shape
+    B, TT = ids.shape
+    Kd = dpay.shape[-1]
+    P = ts * ts
+    ncs = Ks // CHUNK
+    kern = functools.partial(
+        _bwd_kernel, ts=ts, tx=tx, ncs=ncs, ndc=Kd // CHUNK,
+        power_min=power_min, term_eps=term_eps, exact_fwd=exact_fwd,
+        exact_bwd=exact_bwd)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, TT),
+        in_specs=[
+            pl.BlockSpec((None, 10, Ks),
+                         lambda b, i, ids, cs, cd: (ids[b, i], 0, 0)),
+            pl.BlockSpec((None, None, 10, Kd),
+                         lambda b, i, ids, cs, cd: (b, i, 0, 0)),
+            pl.BlockSpec((None, None, P, 8),
+                         lambda b, i, ids, cs, cd: (b, ids[b, i], 0, 0)),
+            pl.BlockSpec((None, None, P, 8),
+                         lambda b, i, ids, cs, cd: (b, ids[b, i], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, 10, Ks),
+                         lambda b, i, ids, cs, cd: (b, i, 0, 0)),
+            pl.BlockSpec((None, None, 10, Kd),
+                         lambda b, i, ids, cs, cd: (b, i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), spay_pad.dtype),    # ts carry
+            pltpu.VMEM((P, Kd), spay_pad.dtype),   # ld
+            pltpu.VMEM((P, Kd), spay_pad.dtype),   # ad
+            pltpu.VMEM((P, Kd), spay_pad.dtype),   # ltsd
+            pltpu.VMEM((P, 1), spay_pad.dtype),    # static prefix
+            pltpu.VMEM((P, Kd), spay_pad.dtype),   # Σ bs·ws before dyn
+            pltpu.VMEM((P, Kd), spay_pad.dtype),   # bd·wd
+            pltpu.SMEM((1 + ncs,), jnp.int32),     # alive + applied bits
+        ],
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, TT, 10, Ks), spay_pad.dtype),
+            jax.ShapeDtypeStruct((B, TT, 10, Kd), spay_pad.dtype),
+        ],
+        interpret=interpret,
+    )(ids, counts_s_pad, counts_d, spay_pad, dpay, ct, fwd_out)
+
+
+def _scatter_rows(gs_sel: jnp.ndarray, ids: jnp.ndarray, T1: int):
+    """(B, TT, 10, Ks) compacted static cotangents + (B, TT) tile ids →
+    (T1, 10, Ks) summed per tile, as ONE one-hot MXU contraction (exact:
+    full-f32 passes; the one-hot side is 0/1).  Pad slots (id = T1−1)
+    accumulate into the trash row, which the caller slices off."""
+    B, TT, R, Ks = gs_sel.shape
+    flat_ids = ids.reshape(B * TT)
+    onehot = (flat_ids[:, None]
+              == jnp.arange(T1, dtype=jnp.int32)[None, :]).astype(
+                  gs_sel.dtype)                               # (B·TT, T1)
+    flat = gs_sel.reshape(B * TT, R * Ks)
+    out = jax.lax.dot_general(
+        onehot, flat, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                  # (T1, R·Ks)
+    return out.reshape(T1, R, Ks)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def composite_pair_sel(spay_pad, dpay, ids, counts_s_pad, counts_d,
+                       ts: int, tx: int, sigma_cutoff: Optional[float],
+                       interpret: bool, term_eps: Optional[float] = None,
+                       exact_fwd: bool = True, exact_bwd: bool = False):
+    """Selected-tile interleaved composite.
+
+    Args:
+      spay_pad: (T+1, 10, Ks) static per-tile payload with a zero trash row
+        at index T (``_pack_payload`` layout, Ks % 128 == 0).
+      dpay: (B, TT, 10, Kd) compacted per-env dynamic lists (Kd % 128 == 0).
+      ids: (B, TT) int32 tile ids; pad slots carry T.  Pad slots MUST come
+        after all real slots (selection sorts by descending count).
+      counts_s_pad: (T+1,) int32 active static entries (0 at the trash row).
+      counts_d: (B, TT) int32 active dynamic entries (0 at pad slots).
+
+    Returns (B, T+1, P, 8) per-pixel [rgb, depth_acc, trans, 0×3] written
+    ONLY at selected rows — unselected rows are uninitialized and the trash
+    row is the pads' empty composite; the caller must where-select against
+    the static composite before consuming.
+    """
+    pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
+    return _call_fwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ts, tx,
+                     pmin, interpret, term_eps, exact_fwd)
+
+
+def _sel_fwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ts, tx,
+             sigma_cutoff, interpret, term_eps, exact_fwd, exact_bwd):
+    pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
+    out = _call_fwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ts, tx,
+                    pmin, interpret, term_eps, exact_fwd)
+    return out, (spay_pad, dpay, ids, counts_s_pad, counts_d, out)
+
+
+def _sel_bwd(ts, tx, sigma_cutoff, interpret, term_eps, exact_fwd,
+             exact_bwd, res, ct):
+    import numpy as _np
+
+    spay_pad, dpay, ids, counts_s_pad, counts_d, out = res
+    pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
+    gs_sel, gd = _call_bwd(spay_pad, dpay, ids, counts_s_pad, counts_d,
+                           ct, out, ts, tx, pmin, interpret, term_eps,
+                           exact_fwd, exact_bwd)
+    gs_pad = _scatter_rows(gs_sel, ids, spay_pad.shape[0])
+    zero = lambda a: _np.zeros(a.shape, jax.dtypes.float0)
+    return gs_pad, gd, zero(ids), zero(counts_s_pad), zero(counts_d)
+
+
+composite_pair_sel.defvjp(_sel_fwd, _sel_bwd)

@@ -329,6 +329,154 @@ def rasterize_with_cache(
     return untile(rgb), aux
 
 
+def select_touched_tiles(dcounts: jnp.ndarray, sel_tiles: int, T: int):
+    """Pick the ``sel_tiles`` tiles with the most dynamic entries.
+
+    Returns (ids (TT,) int32 with pad = T after all real slots, counts_sel
+    (TT,) int32 zero at pads, n_overflow: touched tiles that did not fit).
+    Selection is exact whenever #touched ≤ sel_tiles (the production case);
+    overflowing tiles fall back to the static composite and are counted.
+    """
+    iota = jnp.arange(T, dtype=jnp.int32)
+    neg, order = lax.sort((-dcounts.astype(jnp.int32), iota), num_keys=1)
+    ids = jnp.where(neg < 0, order, T)[:sel_tiles].astype(jnp.int32)
+    counts_sel = jnp.maximum(-neg, 0)[:sel_tiles].astype(jnp.int32)
+    n_overflow = (jnp.sum(dcounts > 0) - jnp.sum(neg[:sel_tiles] < 0)
+                  ).astype(jnp.int32)
+    return ids, counts_sel, n_overflow
+
+
+def _gather_tile_lists_sel(proj, colors, opacities, sorted_gidx, starts,
+                           counts, ids, Kd: int):
+    """Per-tile list gather restricted to the selected tiles ``ids``.
+
+    Returns (TT, 10, Kd) payload in the pallas kernel row layout
+    [x, y, conic a b c, r, g, b, depth, opacity] with inactive entries'
+    opacity zeroed."""
+    k = jnp.arange(Kd, dtype=jnp.int32)
+    starts_pad = jnp.concatenate([starts, starts[-1:]])       # id = T ⇒ pad
+    counts_pad = jnp.concatenate(
+        [counts, jnp.zeros((1,), counts.dtype)])
+    s_sel = starts_pad[ids]                                   # (TT,)
+    c_sel = jnp.minimum(counts_pad[ids], Kd)
+    sel = jnp.clip(s_sel[:, None] + k[None, :], 0, sorted_gidx.shape[0] - 1)
+    g = sorted_gidx[sel]                                      # (TT, Kd)
+    payload = jnp.concatenate([
+        proj.xy,                                              # 0:2
+        proj.conic,                                           # 2:5
+        colors,                                               # 5:8
+        proj.depth[:, None],                                  # 8
+        jnp.clip(opacities, 0.0, 1.0)[:, None],               # 9
+    ], axis=1)
+    lists = payload[g]                                        # (TT, Kd, 10)
+    entry_valid = k[None, :] < c_sel[:, None]
+    lists = lists.at[..., 9].set(
+        jnp.where(entry_valid, lists[..., 9], 0.0))
+    return jnp.swapaxes(lists, 1, 2), c_sel                   # (TT, 10, Kd)
+
+
+def rasterize_cache_sel_batch(
+    cache: TileCache,
+    static_composite,
+    dyn_means: jnp.ndarray,       # (B, Nd, 3)
+    dyn_quats: jnp.ndarray,       # (B, Nd, 4)
+    dyn_log_scales: jnp.ndarray,  # (B, Nd, 3)
+    dyn_colors: jnp.ndarray,      # (B, Nd, 3)
+    dyn_opacities: jnp.ndarray,   # (B, Nd)
+    camera: Camera,
+    config: RasterConfig,
+    dyn_capacity: int = 128,
+    sel_tiles: int = 128,
+    dyn_max_tiles: int | None = None,
+    background: jnp.ndarray | None = None,
+):
+    """Batched cached render through the selected-tile fused kernel.
+
+    The explicitly-batched production path: per env it projects + bins the
+    dynamic gaussians, selects the ≤ ``sel_tiles`` tiles they touch, and
+    composites ONLY those tiles against the shared static cache with the
+    scalar-prefetch pallas kernel (ops/pallas_composite_sel.py); untouched
+    tiles reuse ``static_composite``.  Explicit batch (no vmap) because the
+    kernel's grid is (B, TT) with a prefetched tile-id table — replaces the
+    reference hot loop's per-camera browser render (splat_env_wrapper.py:
+    140-159) for a whole env batch in one launch.
+
+    Returns ((B, H, W, 3) images, RasterAux with batched fields).
+    """
+    from sim_a_splat_tpu.ops.pallas_composite_sel import composite_pair_sel
+    from sim_a_splat_tpu.ops.projection import project_raw
+
+    ts = config.tile_size
+    H, W = camera.height, camera.width
+    tx, ty = _grid(camera, config)
+    T = tx * ty
+    B = dyn_means.shape[0]
+    Kd = dyn_capacity
+    if static_composite is None:
+        raise ValueError("rasterize_cache_sel_batch requires the static "
+                         "composite (unselected tiles fall back to it)")
+
+    dyn_cfg = config._replace(tile_capacity=dyn_capacity)
+    if dyn_max_tiles is not None:
+        dyn_cfg = dyn_cfg._replace(max_tiles_per_gaussian=dyn_max_tiles)
+
+    from sim_a_splat_tpu.ops.rasterize_tiles import _bin_gaussians
+
+    def bin_one(m, q, l, c, o):
+        proj = project_raw(m, q, l, camera)
+        (_, sorted_gidx, starts, counts, trunc) = _bin_gaussians(
+            proj, dyn_cfg, tx, ty)
+        ids, c_sel0, n_over = select_touched_tiles(counts, sel_tiles, T)
+        dpay, c_sel = _gather_tile_lists_sel(
+            proj, c, o, sorted_gidx, starts, counts, ids, Kd)
+        return dpay, ids, c_sel, counts, trunc, n_over
+
+    dpay, ids, counts_d, dcounts, dtrunc, n_over = jax.vmap(bin_one)(
+        dyn_means, dyn_quats, dyn_log_scales, dyn_colors, dyn_opacities)
+
+    Ks = cache.gxy.shape[1]
+    spay_pad = jnp.concatenate(
+        [_pack_payload(cache),
+         jnp.zeros((1, 10, Ks), cache.gxy.dtype)], axis=0)
+    counts_s_pad = jnp.concatenate(
+        [cache.counts.astype(jnp.int32), jnp.zeros((1,), jnp.int32)])
+
+    interpret = config.backend == "pallas_interpret"
+    out = composite_pair_sel(spay_pad, dpay, ids, counts_s_pad, counts_d,
+                             ts, tx, config.sigma_cutoff, interpret,
+                             config.term_eps, config.sel_exact_fwd,
+                             config.sel_exact_bwd)            # (B, T+1, P, 8)
+
+    # selected-tile mask; unselected rows of `out` are uninitialized
+    sel_mask = jnp.zeros((B, T + 1), bool).at[
+        jnp.arange(B, dtype=jnp.int32)[:, None], ids].set(True)[:, :T]
+    s_rgb, s_depth, s_trans = static_composite
+    rgb = jnp.where(sel_mask[..., None, None], out[:, :T, :, 0:3],
+                    s_rgb[None])
+    depth_acc = jnp.where(sel_mask[..., None], out[:, :T, :, 3],
+                          s_depth[None])
+    trans = jnp.where(sel_mask[..., None], out[:, :T, :, 4], s_trans[None])
+
+    if background is None:
+        background = jnp.zeros(3, dtype=rgb.dtype)
+    rgb = rgb + trans[..., None] * background
+
+    def untile(a):
+        return untile_image(a, tx, ty, ts, H, W)
+
+    imgs = jax.vmap(untile)(rgb)
+    alpha = jax.vmap(untile)(1.0 - trans)
+    depth = jax.vmap(untile)(depth_acc) / jnp.maximum(alpha, 1e-10)
+    aux = RasterAux(
+        tile_counts=cache.counts[None] + dcounts,
+        n_overflowed_tiles=jnp.sum(dcounts > Kd) + jnp.sum(n_over),
+        n_slot_truncated=jnp.sum(dtrunc),
+        alpha=alpha,
+        depth=depth,
+    )
+    return imgs, aux
+
+
 def rasterize_with_cache_sh(cache, dyn_means, dyn_covs, dyn_sh, dyn_opac,
                             camera, sh_degree: int, config,
                             dyn_capacity: int = 128, background=None,

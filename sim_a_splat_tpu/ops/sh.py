@@ -85,3 +85,48 @@ def eval_sh(sh: jnp.ndarray, dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
 def eval_sh_color(sh: jnp.ndarray, dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
     """Full splat color: eval_sh + 0.5, clamped at 0 (gsplat classic)."""
     return jnp.maximum(eval_sh(sh, dirs, degree) + 0.5, 0.0)
+
+
+def eval_sh_color_split(sh_dc: jnp.ndarray, sh_rest: jnp.ndarray | None,
+                        dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
+    """``eval_sh_color`` on the scene's native split storage.
+
+    Identical math to ``eval_sh_color(concat([sh_dc[:, None], sh_rest], 1),
+    dirs, degree)`` but never materializes the (N, K, 3) concat — round-3
+    profiling showed the concat + its slice/pad VJP + the layout copies XLA
+    inserts around the (N, 15, 3) operand cost ~6 ms/step at N=93k on v5e.
+    ``sh_dc`` is (..., 3); ``sh_rest`` is (..., K-1, 3) or None (degree 0).
+    """
+    result = C0 * sh_dc
+    if degree >= 1:
+        r = sh_rest
+        x, y, z = dirs[..., 0:1], dirs[..., 1:2], dirs[..., 2:3]
+        result = (
+            result
+            - C1 * y * r[..., 0, :]
+            + C1 * z * r[..., 1, :]
+            - C1 * x * r[..., 2, :]
+        )
+    if degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        result = (
+            result
+            + C2[0] * xy * r[..., 3, :]
+            + C2[1] * yz * r[..., 4, :]
+            + C2[2] * (2.0 * zz - xx - yy) * r[..., 5, :]
+            + C2[3] * xz * r[..., 6, :]
+            + C2[4] * (xx - yy) * r[..., 7, :]
+        )
+    if degree >= 3:
+        result = (
+            result
+            + C3[0] * y * (3.0 * xx - yy) * r[..., 8, :]
+            + C3[1] * xy * z * r[..., 9, :]
+            + C3[2] * y * (4.0 * zz - xx - yy) * r[..., 10, :]
+            + C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * r[..., 11, :]
+            + C3[4] * x * (4.0 * zz - xx - yy) * r[..., 12, :]
+            + C3[5] * z * (xx - yy) * r[..., 13, :]
+            + C3[6] * x * (xx - 3.0 * yy) * r[..., 14, :]
+        )
+    return jnp.maximum(result + 0.5, 0.0)

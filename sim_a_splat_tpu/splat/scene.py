@@ -74,14 +74,38 @@ class GaussianScene(NamedTuple):
         return jnp.concatenate([self.sh_dc[:, None, :], self.sh_rest], axis=1)
 
     def select(self, idx: jnp.ndarray) -> "GaussianScene":
-        """Gather a subset (mask indices or integer indices)."""
+        """Gather a subset (mask indices or integer indices).
+
+        When ``idx`` is a *concrete* contiguous ``arange`` run (the common
+        case: scene graphs store each body's gaussians contiguously, so the
+        static/dynamic split is a prefix/suffix), the gather is emitted as a
+        ``lax.slice`` instead — round-3 profiling showed the 93k-row gather
+        plus its scatter-add transpose cost ~10 ms/step on v5e, all of it
+        avoidable layout traffic."""
+        import numpy as np
+        from jax import lax
+
+        lo = None
+        if not isinstance(idx, jax.core.Tracer):
+            a = np.asarray(idx)
+            if (a.ndim == 1 and a.dtype.kind in "iu" and a.size > 0
+                    and int(a[-1]) - int(a[0]) == a.size - 1
+                    and np.all(np.diff(a) == 1)):
+                lo = int(a[0])
+                hi = lo + a.size
+
+        def take(x):
+            if lo is not None:
+                return lax.slice_in_dim(x, lo, hi, axis=0)
+            return x[idx]
+
         return GaussianScene(
-            means=self.means[idx],
-            quats=self.quats[idx],
-            log_scales=self.log_scales[idx],
-            logit_opacities=self.logit_opacities[idx],
-            sh_dc=self.sh_dc[idx],
-            sh_rest=None if self.sh_rest is None else self.sh_rest[idx],
+            means=take(self.means),
+            quats=take(self.quats),
+            log_scales=take(self.log_scales),
+            logit_opacities=take(self.logit_opacities),
+            sh_dc=take(self.sh_dc),
+            sh_rest=None if self.sh_rest is None else take(self.sh_rest),
         )
 
     def astype(self, dtype) -> "GaussianScene":

@@ -164,3 +164,39 @@ def test_scene_select_and_sh_degree():
     sub = scene.select(jnp.asarray([0, 3, 5]))
     assert sub.num_gaussians == 3
     assert sub.sh_rest.shape == (3, 8, 3)
+
+
+def test_eval_sh_color_split_matches_concat():
+    # the split evaluator (no (N, K, 3) concat temp) must equal the stacked
+    # one for every degree
+    rng = np.random.default_rng(3)
+    n = 64
+    sh_dc = jnp.asarray(rng.normal(0, 1, (n, 3)), jnp.float32)
+    sh_rest = jnp.asarray(rng.normal(0, 0.2, (n, 15, 3)), jnp.float32)
+    dirs = rng.normal(size=(n, 3))
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True),
+                       jnp.float32)
+    for deg in (0, 1, 2, 3):
+        stacked = jnp.concatenate([sh_dc[:, None, :], sh_rest], axis=1)
+        a = sh_ops.eval_sh_color(stacked, dirs, deg)
+        b = sh_ops.eval_sh_color_split(sh_dc, sh_rest if deg else None,
+                                       dirs, deg)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_select_contiguous_slice_equals_gather():
+    # the slice fast path in GaussianScene.select must match the gather
+    from sim_a_splat_tpu.splat import synthetic_scene
+
+    scene = synthetic_scene(50, seed=0, sh_degree=2)
+    idx_slice = jnp.arange(10, 37, dtype=jnp.int32)       # contiguous
+    idx_gather = jnp.asarray(np.r_[10:20, 25:37], jnp.int32)  # not
+    a = scene.select(idx_slice)
+    b = GaussianScene(*[None if x is None else x[idx_slice] for x in scene])
+    for x, y in zip(a, b):
+        if x is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    c = scene.select(idx_gather)
+    assert c.means.shape[0] == idx_gather.shape[0]
