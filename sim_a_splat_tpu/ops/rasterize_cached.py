@@ -415,6 +415,25 @@ def rasterize_cache_sel_batch(
     if static_composite is None:
         raise ValueError("rasterize_cache_sel_batch requires the static "
                          "composite (unselected tiles fall back to it)")
+    # the sel kernel iterates lists in CHUNK=128 slabs with no remainder
+    # handling: a non-multiple capacity would silently truncate (static) or
+    # drop every dynamic gaussian (dyn_capacity < 128 ⇒ zero chunks) — the
+    # same conditions the pair path guards via ``use_fused``
+    from sim_a_splat_tpu.ops.pallas_composite import CHUNK as _SEL_CHUNK
+    Ks_cap = cache.gxy.shape[1]
+    if Ks_cap % _SEL_CHUNK != 0:
+        raise ValueError(
+            f"rasterize_cache_sel_batch: static tile capacity {Ks_cap} must "
+            f"be a multiple of the kernel chunk {_SEL_CHUNK}")
+    if Kd % _SEL_CHUNK != 0:
+        raise ValueError(
+            f"rasterize_cache_sel_batch: dyn_capacity {Kd} must be a "
+            f"multiple of the kernel chunk {_SEL_CHUNK}")
+    if config.backend not in ("pallas", "pallas_interpret"):
+        raise ValueError(
+            "rasterize_cache_sel_batch requires a pallas backend "
+            f"(config.backend={config.backend!r}); use rasterize_with_cache "
+            "for the XLA merge path")
 
     dyn_cfg = config._replace(tile_capacity=dyn_capacity)
     if dyn_max_tiles is not None:

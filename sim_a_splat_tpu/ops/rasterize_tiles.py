@@ -78,7 +78,9 @@ class RasterConfig(NamedTuple):
 class RasterAux(NamedTuple):
     """Truncation accounting (the fixed-shape analogue of CUDA's exact lists)."""
 
-    tile_counts: jnp.ndarray        # (T,) gaussians binned per tile
+    tile_counts: jnp.ndarray        # (T,) gaussians binned per tile —
+                                    # (B, T) per-env from batched renders
+                                    # (rasterize_cache_sel_batch)
     n_overflowed_tiles: jnp.ndarray  # tiles with count > capacity K
     n_slot_truncated: jnp.ndarray    # gaussians whose tile bbox exceeded M
     alpha: jnp.ndarray              # (H, W) final opacity

@@ -89,6 +89,7 @@ class GaussianScene(NamedTuple):
         if not isinstance(idx, jax.core.Tracer):
             a = np.asarray(idx)
             if (a.ndim == 1 and a.dtype.kind in "iu" and a.size > 0
+                    and int(a[0]) >= 0
                     and int(a[-1]) - int(a[0]) == a.size - 1
                     and np.all(np.diff(a) == 1)):
                 lo = int(a[0])

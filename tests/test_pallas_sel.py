@@ -57,8 +57,13 @@ def test_sel_batch_matches_pair(term_eps):
     offsets = jnp.asarray([[0.0, 0, 0], [0.12, -0.05, 0]], jnp.float32)
 
     imgs_sel, aux = jax.jit(lambda *a: rasterize_cache_sel_batch(
-        cache, scomp, *a, cam, cfg, dyn_capacity=128, sel_tiles=4,
+        cache, scomp, *a, cam, cfg, dyn_capacity=128, sel_tiles=6,
         dyn_max_tiles=9))(*batch_dyn(dyn, offsets))
+
+    # rule out overflow: an overflowed tile silently compares the static
+    # composite against the pair render (ADVICE r3; sel_tiles=4 left 2
+    # overflowed tiles whose dynamics were sub-threshold — not a real match)
+    assert int(aux.n_overflowed_tiles) == 0
 
     for b, off in enumerate(offsets):
         img_pair = jax.jit(lambda o: rasterize_with_cache(
@@ -90,6 +95,32 @@ def test_sel_overflow_falls_back_to_static():
     # the one selected tile still composites exactly; the rest differ only
     # where dynamic gaussians were dropped (finite anyway)
     assert np.isfinite(np.asarray(imgs_one)).all()
+
+
+def test_sel_batch_rejects_bad_config():
+    # chunk-misaligned capacities / non-pallas backends would silently drop
+    # dynamic gaussians or truncate static chunks (ADVICE r3 medium)
+    static, dyn, cam = setup(n_static=60, n_dyn=20)
+    cache = build_tile_cache(static.means, static.covs(), static.colors_dc(),
+                             static.opacities(), cam, CFG)
+    scomp = build_static_composite(cache, cam, CFG)
+    args = batch_dyn(dyn, jnp.zeros((1, 3), jnp.float32))
+    with pytest.raises(ValueError, match="dyn_capacity"):
+        rasterize_cache_sel_batch(cache, scomp, *args, cam, CFG,
+                                  dyn_capacity=64, sel_tiles=4)
+    with pytest.raises(ValueError, match="pallas"):
+        rasterize_cache_sel_batch(cache, scomp, *args, cam,
+                                  CFG._replace(backend="xla"),
+                                  dyn_capacity=128, sel_tiles=4)
+    # a chunk-misaligned static cache (capacity 96) must be rejected too
+    cfg96 = CFG._replace(tile_capacity=96)
+    cache96 = build_tile_cache(static.means, static.covs(),
+                               static.colors_dc(), static.opacities(),
+                               cam, cfg96)
+    scomp96 = build_static_composite(cache96, cam, cfg96)
+    with pytest.raises(ValueError, match="static tile capacity"):
+        rasterize_cache_sel_batch(cache96, scomp96, *args, cam, cfg96,
+                                  dyn_capacity=128, sel_tiles=4)
 
 
 def test_select_touched_tiles_exact():

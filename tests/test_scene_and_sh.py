@@ -200,3 +200,9 @@ def test_select_contiguous_slice_equals_gather():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     c = scene.select(idx_gather)
     assert c.means.shape[0] == idx_gather.shape[0]
+    # negative contiguous runs must fall through to the gather path
+    # (lax.slice would wrap the start and raise; ADVICE r3)
+    idx_neg = jnp.asarray([-3, -2, -1], jnp.int32)
+    d = scene.select(idx_neg)
+    np.testing.assert_array_equal(np.asarray(d.means),
+                                  np.asarray(scene.means[-3:]))
