@@ -28,10 +28,11 @@ def build_product_wrapper(n_total=100_000, sh_degree=3, seed=0,
                           render_size=(240, 320), raster=None):
     """Arm env + splat wrapper at representative scale: per-link clusters
     at rest FK + task block + dominant static background, sh_degree 3."""
+    import jax
     import jax.numpy as jnp
     from sim_a_splat_tpu.envs.manipulator_envs import ManipulatorEnvF
     from sim_a_splat_tpu.envs.splat_wrapper import CameraSpec, SplatEnvWrapperF
-    from sim_a_splat_tpu.ops import rgb_to_sh
+    from sim_a_splat_tpu.ops.sh import C0
     from sim_a_splat_tpu.ops.rasterize_tiles import RasterConfig
     from sim_a_splat_tpu.ops.transforms import SE3
     from sim_a_splat_tpu.physics import kinematics as kin
@@ -49,40 +50,41 @@ def build_product_wrapper(n_total=100_000, sh_degree=3, seed=0,
     n_block = max(n_total // 25, 50)
     n_bg = n_total - n_links * n_link - n_block
 
+    # scene built in pure numpy, shipped in ONE device_put (eager per-array
+    # ops cost a remote round-trip + compile each on the tunneled platform)
     def cluster(center, n, color, spread):
         c = np.asarray(center, np.float32)
         q = rng.normal(size=(n, 4))
         q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+        rgb = np.clip(color + rng.normal(0, 0.05, (n, 3)), 0, 1)
         return dict(
             means=rng.normal(size=(n, 3)) * spread + c,
             quats=q,
             log_scales=rng.uniform(np.log(0.004), np.log(0.012), (n, 3)),
             logit_opacities=np.full(n, 2.0, np.float32),
-            sh_dc=np.asarray(rgb_to_sh(jnp.asarray(
-                np.clip(color + rng.normal(0, 0.05, (n, 3)), 0, 1),
-                jnp.float32))),
+            sh_dc=(rgb - 0.5) / C0,      # rgb_to_sh, numpy
         )
 
     parts = [cluster([0.2, 0.0, -0.6], n_bg, [0.8, 0.8, 0.75], 0.8)]
     sizes = [n_bg]
+    rest_t_np = np.asarray(rest_fk.t)
     for i in range(n_links):
-        parts.append(cluster(np.asarray(rest_fk.t[i]), n_link,
-                             [0.3, 0.4, 0.8], 0.05))
+        parts.append(cluster(rest_t_np[i], n_link, [0.3, 0.4, 0.8], 0.05))
         sizes.append(n_link)
     block_rest = np.asarray([0.45, 0.0, 0.0])
     parts.append(cluster(block_rest, n_block, [0.6, 0.55, 0.5], 0.06))
     sizes.append(n_block)
 
     def cat(k):
-        return jnp.asarray(np.concatenate([p[k] for p in parts]), jnp.float32)
+        return np.concatenate([p[k] for p in parts]).astype(np.float32)
 
     n = sum(sizes)
     k_rest = (sh_degree + 1) ** 2 - 1
-    scene = GaussianScene(
+    scene = jax.device_put(GaussianScene(
         cat("means"), cat("quats"), cat("log_scales"),
         cat("logit_opacities"), cat("sh_dc"),
-        sh_rest=None if sh_degree == 0 else jnp.asarray(
-            rng.normal(0, 0.02, (n, k_rest, 3)), jnp.float32))
+        sh_rest=None if sh_degree == 0 else
+        rng.normal(0, 0.02, (n, k_rest, 3)).astype(np.float32)))
 
     off = np.cumsum([0] + sizes)
     masks = {}
@@ -125,7 +127,7 @@ def build_product_wrapper(n_total=100_000, sh_degree=3, seed=0,
 
 
 def measure_product(B=8, N=100_000, iters=5, render_size=(240, 320),
-                    log=print, backend=None):
+                    log=print, backend=None, sel_tiles=None):
     """Compile + time the 2-camera wrapper step, fwd+bwd wrt the scene.
     Returns env-frames/s (each frame = physics step + 2 rendered cameras)."""
     import jax
@@ -133,13 +135,15 @@ def measure_product(B=8, N=100_000, iters=5, render_size=(240, 320),
 
     dev = jax.devices()[0]
     if backend is None:
-        backend = "pallas" if dev.platform == "tpu" else "xla"
+        backend = "pallas" if dev.platform in ("tpu", "axon") else "xla"
     import dataclasses as _dc
 
     wrapper = build_product_wrapper(n_total=N, render_size=render_size)
     wrapper = _dc.replace(wrapper,
                           raster=wrapper.raster._replace(backend=backend))
     graph = wrapper.graph
+    if sel_tiles is None:
+        sel_tiles = int(os.environ.get("PRODUCT_SEL_TILES", "160"))
 
     keys = jax.random.split(jax.random.key(0), B)
     reset_to = {"robot_pos": np.zeros(6),
@@ -151,40 +155,39 @@ def measure_product(B=8, N=100_000, iters=5, render_size=(240, 320),
 
     def loss_of(scene, states, actions):
         w = _dc.replace(wrapper, graph=graph._replace(scene=scene))
-        # production path: static tile cache for the fixed viewport camera
-        # built once per train step, shared across the batch; the moving
-        # EEF camera full-rebins per env
+        # production path (round-4): static tile cache for the fixed
+        # viewport camera built once per train step; ALL envs' dynamic-
+        # touched viewport tiles composite in one selected-tile pallas
+        # launch; the moving EEF camera full-rebins per env under vmap
         caches = w.build_render_cache(scene)
-
-        def one(s, a):
-            tr = w.step_with_cache(s, a, caches)
-            return tr.state, (jnp.mean(tr.obs["camera_0"] ** 2)
-                              + jnp.mean(tr.obs["camera_1"] ** 2))
-
-        new_states, l = jax.vmap(one)(states, actions)
-        return jnp.mean(l), new_states
+        tr = w.step_with_cache_batch(states, actions, caches,
+                                     sel_tiles=sel_tiles)
+        return (jnp.mean(tr.obs["camera_0"] ** 2)
+                + jnp.mean(tr.obs["camera_1"] ** 2),
+                (tr.state, tr.info["render_overflow"][0]))
 
     def fwd_bwd(scene, states, actions):
-        (loss, ns), grads = jax.value_and_grad(
+        (loss, (ns, overflow)), grads = jax.value_and_grad(
             lambda sc: loss_of(sc, states, actions), has_aux=True)(scene)
-        return ns, loss, grads
+        return ns, loss, overflow, grads
 
     jitted = jax.jit(fwd_bwd, donate_argnums=(1,))
     log(f"[product] compiling... (B={B} N={N} res={render_size} "
-        f"backend={backend})")
+        f"backend={backend} sel_tiles={sel_tiles})")
     t0 = time.time()
-    states, loss, grads = jitted(graph.scene, states, actions)
+    states, loss, overflow, grads = jitted(graph.scene, states, actions)
     jax.block_until_ready(loss)
     log(f"[product] compiled+first step in {time.time() - t0:.1f}s, "
-        f"loss={float(loss):.5f}")
+        f"loss={float(loss):.5f} render_overflow={int(overflow)}")
     t0 = time.time()
     for _ in range(iters):
-        states, loss, grads = jitted(graph.scene, states, actions)
+        states, loss, overflow, grads = jitted(graph.scene, states, actions)
     jax.block_until_ready(loss)
     dt = time.time() - t0
     fps = B * iters / dt
     log(f"[product] {B * iters} env-frames (2 cams each) in {dt:.2f}s "
-        f"→ {fps:.1f} frames/s (ms/frame {1e3 * dt / (B * iters):.2f})")
+        f"→ {fps:.1f} frames/s (ms/frame {1e3 * dt / (B * iters):.2f}) "
+        f"overflow={int(overflow)}")
     return fps
 
 

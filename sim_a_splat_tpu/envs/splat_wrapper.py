@@ -354,6 +354,186 @@ class SplatEnvWrapperF:
             imgs.append(img)
         return imgs
 
+    # --- batched cached render (the round-3 selected-tile kernel) ----------
+
+    def _moving_pose(self, spec: CameraSpec, draw: DrawState) -> SE3:
+        """Link-attached camera pose for one env (splat_handler.py:316-332)."""
+        base = self._base_env()
+        schema_names = [l.name for l in base.schema().links]
+        idx = schema_names.index(f"plant::{spec.link_name}")
+        link = SE3(draw.poses.q[idx], draw.poses.t[idx])
+        off_q = jnp.asarray(spec.local_frame[0], jnp.float32)
+        off_t = jnp.asarray(spec.local_frame[1], jnp.float32)
+        t = (link.t + quat.rotate(link.q, off_t) if spec.rotate_offset
+             else link.t + off_t)
+        return SE3(quat.multiply(link.q, off_q), t)
+
+    def render_with_cache_batch(self, env_states, caches: dict,
+                                draws: DrawState | None = None,
+                                dyn_capacity: int = 128,
+                                sel_tiles: int = 96,
+                                dyn_max_tiles: int = 9):
+        """Batched ``render_with_cache``: one call renders ALL envs.
+
+        Fixed cameras composite every env's dynamic-touched tiles in ONE
+        scalar-prefetch pallas launch against the shared static cache
+        (:func:`rasterize_cache_sel_batch` — the round-3 kernel; the
+        reference's per-env browser round-trip loop this replaces is
+        splat_env_wrapper.py:140-159).  Moving cameras full-rebin per env
+        under ``vmap``.  Falls back to the per-env fused-pair path when the
+        sel kernel's preconditions don't hold (non-pallas backend or
+        chunk-misaligned capacities).
+
+        Sizing rule for ``sel_tiles``: it bounds the tiles the dynamic
+        bodies may touch per env — ≈ (projected dynamic footprint in px) /
+        tile_size², ×2 safety.  Tiles beyond it render the static
+        composite (dynamics vanish there, zero gradient), so monitor the
+        returned aux: ``step_with_cache_batch`` surfaces it as
+        ``info['render_overflow']`` — it must stay 0 in production (the
+        reference/gsplat path never drops primitives,
+        ns_utils/nerfstudio_utils.py:166-171).
+
+        Returns ``(imgs, aux)``: list of (B, H, W, 3) per camera in
+        ``camera_{i}`` order, and a dict with ``overflowed_tiles`` /
+        ``slot_truncated`` int totals (0 where exact).
+        """
+        from sim_a_splat_tpu.ops.pallas_composite import CHUNK as _CHUNK
+        from sim_a_splat_tpu.ops.projection import (
+            Projected, project_raw, view_directions,
+        )
+        from sim_a_splat_tpu.ops import sh as sh_ops
+        from sim_a_splat_tpu.ops.rasterize_cached import (
+            rasterize_cache_sel_batch, rasterize_with_cache,
+            rasterize_with_cache_sh,
+        )
+        from sim_a_splat_tpu.ops.rasterize_tiles import render_binned
+
+        base = self._base_env()
+        if draws is None:
+            draws = jax.vmap(base.draw_state)(env_states)
+        stat_idx, dyn_idx, dyn_ids = self._split_indices()
+        scene = self.graph.scene
+        dyn = scene.select(dyn_idx)
+        st = scene.select(stat_idx)
+        bg = jnp.asarray(self.background, jnp.float32)
+
+        def pose_one(draw):
+            rel = self._body_poses(draw).compose(self.graph.rest_inv)
+            q_g = rel.q[dyn_ids]
+            t_g = rel.t[dyn_ids]
+            return (quat.rotate(q_g, dyn.means) + t_g,
+                    quat.multiply(q_g, dyn.quats))
+
+        d_means, d_quats = jax.vmap(pose_one)(draws)
+        B = d_means.shape[0]
+        d_ls = jnp.broadcast_to(dyn.log_scales, (B,) + dyn.log_scales.shape)
+        d_op = jnp.broadcast_to(dyn.opacities(), (B,) + dyn.opacities().shape)
+
+        imgs = []
+        overflow = jnp.zeros((), jnp.int32)
+        truncated = jnp.zeros((), jnp.int32)
+        for key, spec in self.cameras:
+            h, w = spec.render_size
+            if spec.type != "moving" and key in caches:
+                cache, scomp = caches[key]
+                cam = self._fixed_camera(spec)
+                sel_ok = (
+                    self.raster.backend in ("pallas", "pallas_interpret")
+                    and cache.gxy.shape[1] % _CHUNK == 0
+                    and dyn_capacity % _CHUNK == 0)
+                if scene.sh_rest is None:
+                    d_cols = jnp.broadcast_to(
+                        dyn.colors_dc(), (B,) + dyn.colors_dc().shape)
+                else:
+                    def cols_one(m):
+                        dirs = view_directions(m, cam)
+                        return sh_ops.eval_sh_color_split(
+                            dyn.sh_dc, dyn.sh_rest, dirs, scene.sh_degree)
+                    d_cols = jax.vmap(cols_one)(d_means)
+                if sel_ok:
+                    img_b, aux = rasterize_cache_sel_batch(
+                        cache, scomp, d_means, d_quats, d_ls, d_cols, d_op,
+                        cam, self.raster, dyn_capacity=dyn_capacity,
+                        sel_tiles=sel_tiles, dyn_max_tiles=dyn_max_tiles,
+                        background=bg)
+                    overflow = overflow + aux.n_overflowed_tiles
+                    truncated = truncated + aux.n_slot_truncated
+                else:
+                    def pair_one(m, q, c):
+                        img, aux = rasterize_with_cache(
+                            cache, m, None, c, dyn.opacities(), cam,
+                            self.raster, dyn_capacity=dyn_capacity,
+                            background=bg, static_composite=scomp,
+                            dyn_max_tiles=dyn_max_tiles, dyn_quats=q,
+                            dyn_log_scales=dyn.log_scales)
+                        return img, (aux.n_overflowed_tiles,
+                                     aux.n_slot_truncated)
+                    img_b, (n_o, n_t) = jax.vmap(pair_one)(
+                        d_means, d_quats, d_cols)
+                    overflow = overflow + jnp.sum(n_o)
+                    truncated = truncated + jnp.sum(n_t)
+            else:
+                def mv_one(draw, dm, dq):
+                    pose = (self._moving_pose(spec, draw)
+                            if spec.type == "moving" else spec.pose())
+                    cam = Camera.from_fov(pose, spec.fov, int(w), int(h))
+                    ps = project_raw(st.means, st.quats, st.log_scales, cam)
+                    pd = project_raw(dm, dq, dyn.log_scales, cam)
+                    proj = Projected(*[jnp.concatenate([a, b])
+                                       for a, b in zip(ps, pd)])
+                    opac = jnp.concatenate([st.opacities(), dyn.opacities()])
+                    if scene.sh_rest is None:
+                        colors = jnp.concatenate([st.colors_dc(),
+                                                  dyn.colors_dc()])
+                    else:
+                        means_all = jnp.concatenate([st.means, dm])
+                        dirs = view_directions(means_all, cam)
+                        sh_all = jnp.concatenate([st.sh_coeffs(),
+                                                  dyn.sh_coeffs()])
+                        colors = sh_ops.eval_sh_color(sh_all, dirs,
+                                                      scene.sh_degree)
+                    img, _ = render_binned(proj, colors, opac, cam,
+                                           self.raster, background=bg)
+                    return img
+                img_b = jax.vmap(mv_one)(draws, d_means, d_quats)
+            imgs.append(img_b)
+        return imgs, {"overflowed_tiles": overflow,
+                      "slot_truncated": truncated}
+
+    def step_with_cache_batch(self, states, actions, caches: dict,
+                              noobs: bool = False,
+                              dyn_capacity: int = 128,
+                              sel_tiles: int = 96,
+                              dyn_max_tiles: int = 9) -> SplatTransition:
+        """Batched ``step_with_cache``: vmapped inner env step + ONE batched
+        selected-tile render per fixed camera (the production train loop —
+        build ``caches`` once per train step, shared across the batch).
+
+        ``info['render_overflow']`` carries the total count of tiles whose
+        dynamic gaussians were dropped (sel_tiles overflow or dyn_capacity
+        overflow) — nonzero means images/grads silently degrade; raise
+        ``sel_tiles`` (see :meth:`render_with_cache_batch` sizing rule).
+        """
+        tr = jax.vmap(self.env.step)(states, actions)
+        if noobs:
+            return SplatTransition(state=tr.state, obs=tr.obs,
+                                   reward=tr.reward,
+                                   terminated=tr.terminated,
+                                   truncated=tr.truncated, info=tr.info)
+        imgs, aux = self.render_with_cache_batch(
+            tr.state, caches, dyn_capacity=dyn_capacity,
+            sel_tiles=sel_tiles, dyn_max_tiles=dyn_max_tiles)
+        obs = dict(tr.obs)
+        for i, img in enumerate(imgs):
+            obs[f"camera_{i}"] = jnp.moveaxis(img, -1, 1)
+        B = next(iter(obs.values())).shape[0]
+        info = dict(tr.info)
+        info["render_overflow"] = jnp.broadcast_to(
+            aux["overflowed_tiles"] + aux["slot_truncated"], (B,))
+        return SplatTransition(state=tr.state, obs=obs, reward=tr.reward,
+                               terminated=tr.terminated,
+                               truncated=tr.truncated, info=info)
+
     def observe_with_cache(self, env_state, inner_obs: dict,
                            caches: dict) -> dict:
         imgs = self.render_with_cache(env_state, caches)

@@ -164,6 +164,121 @@ def test_render_with_cache_matches_full():
                                    atol=2e-5, rtol=1e-4)
 
 
+def _batch_reset(wrapper, B=2):
+    states = []
+    for b in range(B):
+        s, _ = wrapper.env.reset(jax.random.key(b), {
+            "robot_pos": np.asarray([0.1 * b, -0.05 * b]),
+            "block_pos": np.array([0.45, 0.1 * b, 0.2, 0.3 * b]),
+        })
+        states.append(s)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def test_step_with_cache_batch_matches_per_env():
+    """The batched selected-tile product path must reproduce the per-env
+    cached path (images and info contract) — the round-4 wiring of the
+    sel kernel into SplatEnvWrapperF."""
+    import dataclasses
+
+    wrapper, _ = build_wrapper()
+    wrapper = dataclasses.replace(
+        wrapper, raster=RasterConfig(tile_capacity=128, chunk=128,
+                                     sigma_cutoff=3.0,
+                                     backend="pallas_interpret"))
+    states = _batch_reset(wrapper, B=2)
+    actions = jnp.asarray([[0.1, -0.1], [0.4, 0.2]])
+    caches = wrapper.build_render_cache()
+
+    trb = wrapper.step_with_cache_batch(states, actions, caches,
+                                        sel_tiles=12)
+    assert int(trb.info["render_overflow"][0]) == 0
+    for b in range(2):
+        s_b = jax.tree.map(lambda x: x[b], states)
+        tr = wrapper.step_with_cache(s_b, actions[b], caches)
+        for k in ("camera_0", "camera_1"):
+            np.testing.assert_allclose(np.asarray(trb.obs[k][b]),
+                                       np.asarray(tr.obs[k]),
+                                       atol=5e-5, rtol=1e-4)
+        np.testing.assert_allclose(float(trb.reward[b]), float(tr.reward),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_step_with_cache_batch_grads_match_per_env():
+    import dataclasses
+
+    wrapper, _ = build_wrapper()
+    wrapper = dataclasses.replace(
+        wrapper, raster=RasterConfig(tile_capacity=128, chunk=128,
+                                     sigma_cutoff=3.0,
+                                     backend="pallas_interpret"))
+    states = _batch_reset(wrapper, B=2)
+    actions = jnp.asarray([[0.1, -0.1], [0.4, 0.2]])
+
+    def loss_batch(scene):
+        import dataclasses as dc
+        w = dc.replace(wrapper, graph=wrapper.graph._replace(scene=scene))
+        caches = w.build_render_cache(scene)
+        tr = w.step_with_cache_batch(states, actions, caches, sel_tiles=12)
+        return sum(jnp.mean(tr.obs[k] ** 2)
+                   for k in ("camera_0", "camera_1"))
+
+    def loss_per_env(scene):
+        import dataclasses as dc
+        w = dc.replace(wrapper, graph=wrapper.graph._replace(scene=scene))
+        caches = w.build_render_cache(scene)
+        tot = 0.0
+        for b in range(2):
+            s_b = jax.tree.map(lambda x: x[b], states)
+            tr = w.step_with_cache(s_b, actions[b], caches)
+            tot = tot + sum(jnp.mean(tr.obs[k] ** 2)
+                            for k in ("camera_0", "camera_1")) / 2
+        return tot
+
+    gb = jax.grad(loss_batch)(wrapper.graph.scene)
+    gp = jax.grad(loss_per_env)(wrapper.graph.scene)
+    for a, b in zip(gb, gp):
+        if a is None:
+            continue
+        scale = float(jnp.max(jnp.abs(b))) + 1e-8
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=max(5e-3 * scale, 1e-7), rtol=2e-2)
+
+
+def test_step_with_cache_batch_surfaces_overflow():
+    """A deliberately tiny sel_tiles must show up in info['render_overflow']
+    (never silent image/grad degradation — VERDICT r3 #8)."""
+    import dataclasses
+
+    wrapper, _ = build_wrapper()
+    wrapper = dataclasses.replace(
+        wrapper, raster=RasterConfig(tile_capacity=128, chunk=128,
+                                     sigma_cutoff=3.0,
+                                     backend="pallas_interpret"))
+    states = _batch_reset(wrapper, B=2)
+    actions = jnp.zeros((2, 2))
+    caches = wrapper.build_render_cache()
+    tr = wrapper.step_with_cache_batch(states, actions, caches, sel_tiles=1)
+    assert int(tr.info["render_overflow"][0]) > 0
+
+
+def test_step_with_cache_batch_xla_fallback():
+    """With a non-pallas backend the batch path falls back to the per-env
+    pair/merge route and still matches."""
+    wrapper, _ = build_wrapper()   # default raster: xla backend
+    states = _batch_reset(wrapper, B=2)
+    actions = jnp.asarray([[0.1, -0.1], [0.4, 0.2]])
+    caches = wrapper.build_render_cache()
+    trb = wrapper.step_with_cache_batch(states, actions, caches)
+    for b in range(2):
+        s_b = jax.tree.map(lambda x: x[b], states)
+        tr = wrapper.step_with_cache(s_b, actions[b], caches)
+        for k in ("camera_0", "camera_1"):
+            np.testing.assert_allclose(np.asarray(trb.obs[k][b]),
+                                       np.asarray(tr.obs[k]),
+                                       atol=5e-5, rtol=1e-4)
+
+
 def test_render_with_cache_differentiable():
     """Pixel grads must flow through the cached path into the scene (cache
     build AND per-frame dynamic route)."""
