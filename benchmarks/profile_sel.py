@@ -178,6 +178,34 @@ def main():
     dpay, sel_ids, counts_d, dcounts = bench(
         "projbin_sel_dyn", bin_sel_fn, d_means, d_quats, d_ls, d_cols, d_op)
 
+    # --- prepare sub-stages (static set, once per train step) ---------
+    st_scene = scene.select(stat_idx)
+
+    def sh_static_fn(st):
+        dirs = view_directions(st.means, cam)
+        return sh_ops.eval_sh_color_split(st.sh_dc, st.sh_rest, dirs,
+                                          scene.sh_degree)
+
+    st_colors = bench("prep/sh_static", sh_static_fn, st_scene)
+
+    def proj_static_fn(st):
+        return project_raw(st.means, st.quats, st.log_scales, cam)
+
+    st_proj = bench("prep/project_static", proj_static_fn, st_scene)
+
+    def bin_static_fn(proj):
+        return _bin_gaussians(proj, raster, tx, ty)
+
+    _sorted = bench("prep/bin_static", bin_static_fn, st_proj)
+
+    def gather_static_fn(st, colors):
+        from sim_a_splat_tpu.ops.rasterize_tiles import gather_tile_lists
+        proj = project_raw(st.means, st.quats, st.log_scales, cam)
+        return gather_tile_lists(proj, colors, st.opacities(), raster,
+                                 tx, ty)
+
+    bench("prep/projbin+gather", gather_static_fn, st_scene, st_colors)
+
     def prepare_fn(scene):
         st = scene.select(stat_idx)
         dirs = view_directions(st.means, cam)
@@ -227,7 +255,7 @@ def main():
                 sp, dp, sel_ids, counts_s_pad, counts_d, ts, tx,
                 raster.sigma_cutoff, backend == "pallas_interpret",
                 raster.term_eps, raster.sel_exact_fwd, raster.sel_exact_bwd)
-            return jnp.mean(out[:, :T, :, 0:3] ** 2)
+            return jnp.mean(out[:, :T, 0:3, :] ** 2)
         return jax.value_and_grad(loss, argnums=(0, 1))(spay_pad, dpay)
 
     bench("sel_kernel_fb", sel_fb, spay_pad, dpay)
@@ -256,7 +284,10 @@ def main():
     C = CHUNK
     Kd = dyn_cap
     Ks = cap
-    ncs_eff = np.ceil(counts_s_np / C)          # chunks actually visited
+    # chunks actually visited: capped at the kernel's unrolled Ks/C (counts
+    # beyond the static capacity are truncated at cache build), and term_eps
+    # early-stop can cut further (not modeled ⇒ roof is an upper bound)
+    ncs_eff = np.minimum(np.ceil(counts_s_np / C), Ks // C)
     # per selected real slot (b, i): chunks gated by count_s of its tile
     real = sel_ids_np < T
     chunks_per_slot = np.where(real, ncs_eff[np.minimum(sel_ids_np, T - 1)], 0)

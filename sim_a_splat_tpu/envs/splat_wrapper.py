@@ -393,9 +393,11 @@ class SplatEnvWrapperF:
         reference/gsplat path never drops primitives,
         ns_utils/nerfstudio_utils.py:166-171).
 
-        Returns ``(imgs, aux)``: list of (B, H, W, 3) per camera in
-        ``camera_{i}`` order, and a dict with ``overflowed_tiles`` /
-        ``slot_truncated`` int totals (0 where exact).
+        Returns ``(imgs, aux)``: list of (B, 3, H, W) CHW batches per
+        camera in ``camera_{i}`` order (CHW throughout — the obs contract
+        is CHW and channel-major avoids lane-padded layouts on TPU), and a
+        dict with ``overflowed_tiles`` / ``slot_truncated`` int totals (0
+        where exact).
         """
         from sim_a_splat_tpu.ops.pallas_composite import CHUNK as _CHUNK
         from sim_a_splat_tpu.ops.projection import (
@@ -455,7 +457,7 @@ class SplatEnvWrapperF:
                         cache, scomp, d_means, d_quats, d_ls, d_cols, d_op,
                         cam, self.raster, dyn_capacity=dyn_capacity,
                         sel_tiles=sel_tiles, dyn_max_tiles=dyn_max_tiles,
-                        background=bg)
+                        background=bg)                       # (B, 3, H, W)
                     overflow = overflow + aux.n_overflowed_tiles
                     truncated = truncated + aux.n_slot_truncated
                 else:
@@ -470,6 +472,7 @@ class SplatEnvWrapperF:
                                      aux.n_slot_truncated)
                     img_b, (n_o, n_t) = jax.vmap(pair_one)(
                         d_means, d_quats, d_cols)
+                    img_b = jnp.moveaxis(img_b, -1, 1)       # → CHW
                     overflow = overflow + jnp.sum(n_o)
                     truncated = truncated + jnp.sum(n_t)
             else:
@@ -495,7 +498,8 @@ class SplatEnvWrapperF:
                     img, _ = render_binned(proj, colors, opac, cam,
                                            self.raster, background=bg)
                     return img
-                img_b = jax.vmap(mv_one)(draws, d_means, d_quats)
+                img_b = jnp.moveaxis(                        # → CHW
+                    jax.vmap(mv_one)(draws, d_means, d_quats), -1, 1)
             imgs.append(img_b)
         return imgs, {"overflowed_tiles": overflow,
                       "slot_truncated": truncated}
@@ -525,7 +529,7 @@ class SplatEnvWrapperF:
             sel_tiles=sel_tiles, dyn_max_tiles=dyn_max_tiles)
         obs = dict(tr.obs)
         for i, img in enumerate(imgs):
-            obs[f"camera_{i}"] = jnp.moveaxis(img, -1, 1)
+            obs[f"camera_{i}"] = img                         # already CHW
         B = next(iter(obs.values())).shape[0]
         info = dict(tr.info)
         info["render_overflow"] = jnp.broadcast_to(

@@ -71,12 +71,27 @@ def _to_col(row: jnp.ndarray) -> jnp.ndarray:
 
 
 def _dot(a, b, dims, exact=False):
-    """MXU contraction.  ``exact=True`` forces full-f32 passes — required
-    for the log-transmittance / depth-indicator contractions, where the
-    MXU's default bf16 rounding (a) perturbs log-space sums by ~0.4 % and
-    (b) would round depths before order comparisons.  Color/cotangent
-    accumulations keep the default precision, matching the merged-list
-    compositing kernel bit-for-bit."""
+    """MXU contraction.  ``exact=True`` forces full-f32 passes (HIGHEST,
+    6 bf16 passes) — required for the log-transmittance / depth-indicator
+    contractions, where the MXU's default 1-pass bf16 rounding (a)
+    perturbs log-space sums by ~0.4 % and (b) would round depths before
+    order comparisons.  ``exact='split'`` exploits that ``b`` is a 0/1
+    indicator (exactly representable in bf16): a 3-term bf16 split of
+    ``a`` (hi + mid + lo covers the full f32 mantissa) makes THREE
+    default-precision passes match HIGHEST to f32-accumulation order —
+    2× cheaper (round-4; chip-validated max image diff vs HIGHEST ~1e-6).
+    Color/cotangent accumulations keep the default precision, matching
+    the merged-list compositing kernel bit-for-bit."""
+    if exact == "split":
+        def one(term):
+            return jax.lax.dot_general(
+                term, b, (dims, ((), ())),
+                preferred_element_type=jnp.float32)
+
+        a1 = a.astype(jnp.bfloat16).astype(jnp.float32)
+        r = a - a1
+        a2 = r.astype(jnp.bfloat16).astype(jnp.float32)
+        return one(a1) + one(a2) + one(r - a2)
     return jax.lax.dot_general(
         a, b, (dims, ((), ())), preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST if exact else None)

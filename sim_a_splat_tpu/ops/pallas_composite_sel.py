@@ -19,10 +19,11 @@ table (``pltpu.PrefetchScalarGridSpec``):
   write an empty composite into a dedicated trash row.
 - per-tile static/dynamic counts ride the scalar prefetch too (SMEM reads
   ``cs_ref[tid]``), replacing the pair kernel's lane-replicated VMEM hack.
-- forward output is (B, T+1, P, 8) written only at selected rows — the
-  caller MUST select against the once-per-step static composite
-  (``build_static_composite``) before consuming (unvisited rows are
-  uninitialized), which the cached render path does anyway.
+- forward output is (B, T+1, 8, P) — channel-major so the lane dim is the
+  P=ts² pixels (a (…, P, 8) layout pads 8 → 128 lanes: 16× HBM) — written
+  only at selected rows; the caller MUST select against the once-per-step
+  static composite (``build_static_composite``) before consuming
+  (unvisited rows are uninitialized), which the cached render path does.
 - backward emits *compacted* (B, TT, 10, K) gradient blocks; the shared
   static cache cotangent is recovered with one exact one-hot MXU
   contraction over the B·TT selected slots (``_scatter_rows``) — no
@@ -113,8 +114,10 @@ def _fwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, out_ref,
                 lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
                 act = lane < (count_s - c0)
                 dbound = jnp.max(jnp.where(act, ds, -jnp.inf))
-                indb = (dd < dbound).astype(f32)              # (1, Kd)
-                td_b = jnp.exp(_dot(ld, indb, ((1,), (1,)), exact=exact))
+                # skinny (P,Kd)·(Kd,1) contraction as an exact VPU masked
+                # reduce (Mosaic lowers it as a multi_reduction anyway)
+                td_b = jnp.exp(jnp.sum(
+                    jnp.where(dd < dbound, ld, 0.0), axis=1, keepdims=True))
                 alive_ref[0] = (jnp.max(ts_new * td_b)
                                 >= term_eps).astype(jnp.int32)
 
@@ -126,10 +129,14 @@ def _fwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, out_ref,
         crgbd_d = dpay_ref[_ROW_RGBD, :]                      # (4, Kd)
         acc_ref[...] += _dot(wd, crgbd_d, ((1,), (1,)))
 
+    # channel-major (8, P) output block: a (…, P, 8) layout pads the lane
+    # dim 8 → 128 (16× HBM expansion, the round-4 OOM at B=128); (…, 8, P)
+    # tiles exactly.  One small in-VMEM transpose per tile.
     sum_ld = jnp.sum(ld_ref[...], axis=1, keepdims=True)
-    out_ref[:, 0:4] = acc_ref[...]
-    out_ref[:, 4:5] = ts_ref[...] * jnp.exp(sum_ld)
-    out_ref[:, 5:8] = jnp.zeros((P, 3), f32)
+    res = jnp.concatenate(
+        [acc_ref[...], ts_ref[...] * jnp.exp(sum_ld),
+         jnp.zeros((P, 3), f32)], axis=1)                     # (P, 8)
+    out_ref[...] = res.T
 
 
 def _bwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, ct_ref,
@@ -181,16 +188,18 @@ def _bwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, ct_ref,
                 lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
                 act = lane < (count_s - c0)
                 dbound = jnp.max(jnp.where(act, ds, -jnp.inf))
-                indb = (dd < dbound).astype(f32)
-                td_b = jnp.exp(_dot(ld_ref[...], indb, ((1,), (1,)),
-                                    exact=exact_fwd))
+                td_b = jnp.exp(jnp.sum(
+                    jnp.where(dd < dbound, ld_ref[...], 0.0),
+                    axis=1, keepdims=True))
                 applied_ref[0] = (jnp.max(ts_new * td_b)
                                   >= term_eps).astype(jnp.int32)
 
-    ct_rgbd = ct_ref[:, 0:4]                                  # (P, 4)
-    ct_tc = ct_ref[:, 4:5]
-    s_tot = jnp.sum(ct_rgbd * fwd_ref[:, 0:4], axis=1, keepdims=True)
-    trans_term = ct_tc * fwd_ref[:, 4:5]
+    ct_t = ct_ref[...].T                                      # (P, 8)
+    fwd_t = fwd_ref[...].T                                    # (P, 8)
+    ct_rgbd = ct_t[:, 0:4]                                    # (P, 4)
+    ct_tc = ct_t[:, 4:5]
+    s_tot = jnp.sum(ct_rgbd * fwd_t[:, 0:4], axis=1, keepdims=True)
+    trans_term = ct_tc * fwd_t[:, 4:5]
 
     ld = ld_ref[...]
     ad = ad_ref[...]
@@ -307,7 +316,7 @@ def _call_fwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ts, tx,
                          lambda b, i, ids, cs, cd: (b, i, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (None, None, P, 8), lambda b, i, ids, cs, cd: (b, ids[b, i], 0, 0)),
+            (None, None, 8, P), lambda b, i, ids, cs, cd: (b, ids[b, i], 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((P, 4), spay_pad.dtype),
             pltpu.VMEM((P, 1), spay_pad.dtype),
@@ -319,7 +328,7 @@ def _call_fwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ts, tx,
     )
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, T1, P, 8), spay_pad.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, T1, 8, P), spay_pad.dtype),
         interpret=interpret,
     )(ids, counts_s_pad, counts_d, spay_pad, dpay)
 
@@ -344,9 +353,9 @@ def _call_bwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ct, fwd_out,
                          lambda b, i, ids, cs, cd: (ids[b, i], 0, 0)),
             pl.BlockSpec((None, None, 10, Kd),
                          lambda b, i, ids, cs, cd: (b, i, 0, 0)),
-            pl.BlockSpec((None, None, P, 8),
+            pl.BlockSpec((None, None, 8, P),
                          lambda b, i, ids, cs, cd: (b, ids[b, i], 0, 0)),
-            pl.BlockSpec((None, None, P, 8),
+            pl.BlockSpec((None, None, 8, P),
                          lambda b, i, ids, cs, cd: (b, ids[b, i], 0, 0)),
         ],
         out_specs=[
@@ -411,10 +420,10 @@ def composite_pair_sel(spay_pad, dpay, ids, counts_s_pad, counts_d,
       counts_s_pad: (T+1,) int32 active static entries (0 at the trash row).
       counts_d: (B, TT) int32 active dynamic entries (0 at pad slots).
 
-    Returns (B, T+1, P, 8) per-pixel [rgb, depth_acc, trans, 0×3] written
-    ONLY at selected rows — unselected rows are uninitialized and the trash
-    row is the pads' empty composite; the caller must where-select against
-    the static composite before consuming.
+    Returns (B, T+1, 8, P) channel-major per-pixel [rgb, depth_acc, trans,
+    0×3] written ONLY at selected rows — unselected rows are uninitialized
+    and the trash row is the pads' empty composite; the caller must
+    where-select against the static composite before consuming.
     """
     pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
     return _call_fwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ts, tx,

@@ -401,7 +401,9 @@ def rasterize_cache_sel_batch(
     reference hot loop's per-camera browser render (splat_env_wrapper.py:
     140-159) for a whole env batch in one launch.
 
-    Returns ((B, H, W, 3) images, RasterAux with batched fields).
+    Returns ((B, 3, H, W) CHW images — channel-major end to end, matching
+    the camera_{i} obs contract and avoiding lane-padded (…, 3) layouts —
+    and a RasterAux with batched fields).
     """
     from sim_a_splat_tpu.ops.pallas_composite_sel import composite_pair_sel
     from sim_a_splat_tpu.ops.projection import project_raw
@@ -464,28 +466,35 @@ def rasterize_cache_sel_batch(
     out = composite_pair_sel(spay_pad, dpay, ids, counts_s_pad, counts_d,
                              ts, tx, config.sigma_cutoff, interpret,
                              config.term_eps, config.sel_exact_fwd,
-                             config.sel_exact_bwd)            # (B, T+1, P, 8)
+                             config.sel_exact_bwd)            # (B, T+1, 8, P)
 
-    # selected-tile mask; unselected rows of `out` are uninitialized
+    # selected-tile mask; unselected rows of `out` are uninitialized.
+    # Everything stays channel-major (…, 8|1, P): the P=ts² pixel axis is
+    # the lane dim, so no array here pads (a trailing 3/8 dim pads to 128
+    # lanes — 16-42× HBM expansion, the round-4 B=128 OOM).
     sel_mask = jnp.zeros((B, T + 1), bool).at[
         jnp.arange(B, dtype=jnp.int32)[:, None], ids].set(True)[:, :T]
-    s_rgb, s_depth, s_trans = static_composite
-    rgb = jnp.where(sel_mask[..., None, None], out[:, :T, :, 0:3],
-                    s_rgb[None])
-    depth_acc = jnp.where(sel_mask[..., None], out[:, :T, :, 3],
-                          s_depth[None])
-    trans = jnp.where(sel_mask[..., None], out[:, :T, :, 4], s_trans[None])
+    s_rgb, s_depth, s_trans = static_composite                # (T,P,3) etc.
+    P = ts * ts
+    s_all = jnp.concatenate([
+        jnp.swapaxes(s_rgb, 1, 2),                            # (T, 3, P)
+        s_depth[:, None, :], s_trans[:, None, :],
+        jnp.zeros((T, 3, P), s_rgb.dtype)], axis=1)           # (T, 8, P)
+    sel8 = jnp.where(sel_mask[..., None, None], out[:, :T], s_all[None])
 
     if background is None:
-        background = jnp.zeros(3, dtype=rgb.dtype)
-    rgb = rgb + trans[..., None] * background
+        background = jnp.zeros(3, dtype=sel8.dtype)
 
     def untile(a):
         return untile_image(a, tx, ty, ts, H, W)
 
-    imgs = jax.vmap(untile)(rgb)
-    alpha = jax.vmap(untile)(1.0 - trans)
-    depth = jax.vmap(untile)(depth_acc) / jnp.maximum(alpha, 1e-10)
+    untile_b = jax.vmap(untile)                               # (B,T,P)→(B,H,W)
+    trans = sel8[:, :, 4, :]
+    imgs = jnp.stack(
+        [untile_b(sel8[:, :, c, :] + trans * background[c])
+         for c in range(3)], axis=1)                          # (B, 3, H, W)
+    alpha = untile_b(1.0 - trans)
+    depth = untile_b(sel8[:, :, 3, :]) / jnp.maximum(alpha, 1e-10)
     aux = RasterAux(
         tile_counts=cache.counts[None] + dcounts,
         n_overflowed_tiles=jnp.sum(dcounts > Kd) + jnp.sum(n_over),

@@ -59,13 +59,14 @@ class RasterConfig(NamedTuple):
     term_eps: Optional[float] = None  # pallas early-stop transmittance (gsplat: 1e-4)
     fused_pair: bool = True        # cached path: merge-free interleaved kernel
     # Selected-tile fused kernel (pallas_composite_sel) MXU precision for
-    # the log-transmittance contractions: exact (full-f32 multi-pass) in the
-    # forward (image-defining) and backward (gradient-only).  Default =
-    # exact forward, default-precision backward — gradients move by ~the
-    # bf16 unit (≤0.5 %), far below the pair-vs-merge formula spread
-    # (PRECISION.md), for a ~6× cheaper backward MXU path.
-    sel_exact_fwd: bool = True
-    sel_exact_bwd: bool = False
+    # the log-transmittance contractions: True = full-f32 HIGHEST (6 bf16
+    # passes), "split" = hi/lo-bf16 split against the 0/1 indicator operand
+    # (f32-exact in 2 default passes — see _dot; round-4 default), False =
+    # 1-pass bf16.  Backward keeps default precision — gradients move by
+    # ~the bf16 unit (≤0.5 %), far below the pair-vs-merge formula spread
+    # (PRECISION.md).
+    sel_exact_fwd: object = "split"
+    sel_exact_bwd: object = False
     # Radius-aware binning buckets: ((M_b, frac_b), ...) ascending in M_b.
     # Gaussians are ordered by tile-footprint size; the frac_b·N with the
     # largest footprints get M_b slots from the largest bucket down (the

@@ -136,11 +136,15 @@ def train(
     raster: Optional[RasterConfig] = None,
     log_every: int = 0,
     log_fn: Callable = print,
+    eval_every: int = 0,
+    eval_fn: Optional[Callable] = None,
 ):
     """Train ``scene`` against posed views.  Returns (scene, history dict).
 
     Views are visited round-robin (splatfacto samples one camera per step).
     Refinement rounds re-jit (N changes) — keep ``refine_every`` coarse.
+    ``eval_fn(scene, it)`` is called outside jit every ``eval_every`` iters
+    (e.g. a PSNR probe for a training curve).
     """
     if raster is None:
         raster = RasterConfig(tile_capacity=256, max_tiles_per_gaussian=16,
@@ -167,6 +171,8 @@ def train(
         if log_every and (it + 1) % log_every == 0:
             log_fn(f"iter {it + 1}: loss {float(loss):.5f} "
                    f"N={scene.num_gaussians}")
+        if eval_every and eval_fn is not None and (it + 1) % eval_every == 0:
+            eval_fn(scene, it + 1)
         if (config.refine_every and it + 1 >= config.refine_start
                 and (it + 1) % config.refine_every == 0
                 and it + 1 < config.iters):

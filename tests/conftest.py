@@ -21,3 +21,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# the suite is XLA-CPU-compile-bound: persist compiled executables across
+# runs (first run warms ~everything; repeat runs are mostly dispatch)
+try:
+    from pathlib import Path
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+except Exception:
+    pass

@@ -70,7 +70,9 @@ def test_sel_batch_matches_pair(term_eps):
             cache, dyn.means + o, dyn.covs(), dyn.colors_dc(),
             dyn.opacities(), cam, cfg, dyn_capacity=128,
             static_composite=scomp, dyn_max_tiles=9)[0])(off)
-        np.testing.assert_allclose(np.asarray(imgs_sel[b]),
+        # sel batch returns CHW; pair returns HWC
+        np.testing.assert_allclose(np.moveaxis(np.asarray(imgs_sel[b]),
+                                               0, -1),
                                    np.asarray(img_pair),
                                    atol=5e-5, rtol=1e-4)
 
@@ -151,8 +153,8 @@ def test_sel_batch_gradients_match_pair():
         imgs, _ = rasterize_cache_sel_batch(
             cache, scomp, means, rep(dyn.quats), rep(dyn.log_scales),
             rep(dyn.colors_dc()), rep(dyn.opacities()), cam, CFG,
-            dyn_capacity=128, sel_tiles=4)
-        w = jnp.linspace(0.5, 1.5, imgs.shape[1])[None, :, None, None]
+            dyn_capacity=128, sel_tiles=4)          # (B, 3, H, W)
+        w = jnp.linspace(0.5, 1.5, imgs.shape[2])[None, None, :, None]
         return jnp.sum(w * imgs ** 2)
 
     def loss_pair(dm):
