@@ -61,9 +61,11 @@ def main():
     from sim_a_splat_tpu.ops.rasterize_tiles import RasterConfig
     from sim_a_splat_tpu.physics import pusht
 
-    # B=64 from the round-4 batch sweep on the sel-kernel path (per-env
-    # cost decoupled from the static tile count): see PROFILE.md round 4
-    B = int(os.environ.get("BENCH_B", "64"))
+    # B=128 from the round-4 sweep (benchmarks/sweep_r04.py, PROFILE.md):
+    # with sel_tiles tight the per-step static prepare amortizes further
+    # and HBM stays in budget after the channel-major layout fix —
+    # 32→546.8, 64→589.0, 96→637.6, 128→686.8 f/s on chip (160/192 regress)
+    B = int(os.environ.get("BENCH_B", "128"))
     N = int(os.environ.get("BENCH_N", "100000"))
     RES = int(os.environ.get("BENCH_RES", "256"))
     ITERS = int(os.environ.get("BENCH_ITERS", "10"))
@@ -101,10 +103,13 @@ def main():
     skip = os.environ.get("BENCH_SKIP", "1") != "0"
     # selected-tile batched kernel (ops/pallas_composite_sel): composite only
     # the tiles the dynamic gaussians touch, via a scalar-prefetched (B, TT)
-    # grid.  sel_tiles bounds touched tiles per env (overflow falls back to
-    # the static composite and is counted in aux; 96 covers the bench scene
-    # with ~0 overflow — loss is bit-identical to the per-env pair path)
-    sel_tiles = int(os.environ.get("BENCH_SEL_TILES", "96"))
+    # grid.  sel_tiles bounds touched tiles per env; the kernel is grid-
+    # overhead-bound (~3 µs/step incl. pad slots), so a tight bound is the
+    # single biggest lever: 96→48→40→36 took the primary 428→506→547→562
+    # f/s at B=32 (round-4 sweep).  The bench scene touches ≤33 tiles/env;
+    # the n_drop output (logged at compile) proves zero overflow — loss is
+    # bit-identical to sel_tiles=96 at every B measured.
+    sel_tiles = int(os.environ.get("BENCH_SEL_TILES", "36"))
     use_sel = os.environ.get("BENCH_SEL", "1") != "0"
 
     def build(n_total, sh_degree, seed=0):
@@ -129,7 +134,8 @@ def main():
             def loss_of(scene, states, actions):
                 new_states, imgs = jax.vmap(
                     lambda s, a: step(scene, s, a))(states, actions)
-                return jnp.mean(imgs ** 2), new_states
+                return jnp.mean(imgs ** 2), (new_states,
+                                             jnp.zeros((), jnp.int32))
         elif cached and use_sel and backend == "pallas":
             # production env path, round-3 kernel: static background binned
             # + composited once per train step; per-env dynamic lists are
@@ -141,8 +147,9 @@ def main():
 
             def loss_of(scene, states, actions):
                 cache = prepare(scene)
-                new_states, imgs = step_b(cache, scene, states, actions)
-                return jnp.mean(imgs ** 2), new_states
+                new_states, imgs, n_drop = step_b(cache, scene, states,
+                                                  actions)
+                return jnp.mean(imgs ** 2), (new_states, n_drop)
         elif cached:
             # per-env fused-pair/merge path (pre-round-3; BENCH_SEL=0)
             prepare, step_c, P = _make_step_cached(
@@ -153,38 +160,43 @@ def main():
                 cache = prepare(scene)
                 new_states, imgs = jax.vmap(
                     lambda s, a: step_c(cache, scene, s, a))(states, actions)
-                return jnp.mean(imgs ** 2), new_states
+                return jnp.mean(imgs ** 2), (new_states,
+                                             jnp.zeros((), jnp.int32))
         else:
             step, P = _make_step(graph_, RES, RES, raster)
 
             def loss_of(scene, states, actions):
                 new_states, imgs = jax.vmap(
                     lambda s, a: step(scene, s, a))(states, actions)
-                return jnp.mean(imgs ** 2), new_states
+                return jnp.mean(imgs ** 2), (new_states,
+                                             jnp.zeros((), jnp.int32))
 
         states = jax.jit(jax.vmap(lambda k: pusht.reset(P, k)))(keys)
 
         if fwd_only:
             def fwd_bwd(scene, states, actions):
-                loss, new_states = loss_of(scene, states, actions)
-                return new_states, loss, None
+                loss, (new_states, n_drop) = loss_of(scene, states, actions)
+                return new_states, loss, n_drop, None
         else:
             def fwd_bwd(scene, states, actions):
-                (loss, new_states), grads = jax.value_and_grad(
+                (loss, (new_states, n_drop)), grads = jax.value_and_grad(
                     lambda sc: loss_of(sc, states, actions),
                     has_aux=True)(scene)
-                return new_states, loss, grads
+                return new_states, loss, n_drop, grads
 
         jitted = jax.jit(fwd_bwd, donate_argnums=(1,))
         log(f"[{label}] compiling...")
         t0 = time.time()
-        states, loss, grads = jitted(graph_.scene, states, actions)
+        states, loss, n_drop, grads = jitted(graph_.scene, states, actions)
         jax.block_until_ready(loss)
         log(f"[{label}] compiled+first step in {time.time() - t0:.1f}s, "
-            f"loss={float(loss):.5f}")
+            f"loss={float(loss):.5f} dropped={int(n_drop)}")
+        if int(n_drop) > 0:
+            log(f"[{label}] WARNING: {int(n_drop)} overflowed/truncated "
+                "render slots — raise BENCH_SEL_TILES/BENCH_DYN_CAP")
         t0 = time.time()
         for _ in range(iters):
-            states, loss, grads = jitted(graph_.scene, states, actions)
+            states, loss, n_drop, grads = jitted(graph_.scene, states, actions)
         jax.block_until_ready(loss)
         dt = time.time() - t0
         frames = nb * iters

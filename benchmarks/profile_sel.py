@@ -267,7 +267,7 @@ def main():
 
     def loss_of(scene, states, actions):
         c = prepare(scene)
-        ns, imgs = step_b(c, scene, states, actions)
+        ns, imgs, _ = step_b(c, scene, states, actions)
         return jnp.mean(imgs ** 2), ns
 
     bench("step_fwd", lambda sc, st, a: loss_of(sc, st, a),

@@ -100,8 +100,14 @@ def main():
 
     D = len(jax.devices())
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= D]
+    # virtual CPU devices oversubscribe the physical cores: efficiency
+    # rows beyond the core count measure host contention, not scaling —
+    # mark them invalid in the artifact (VERDICT r3 weak #3)
+    ncores = os.cpu_count() or 1
+    virtual = jax.devices()[0].platform == "cpu"
     log(f"devices: {D} × {jax.devices()[0].device_kind}; "
-        f"mesh sizes {sizes}; B={B} N={N} res={RES}")
+        f"mesh sizes {sizes}; B={B} N={N} res={RES} "
+        f"(virtual={virtual}, physical cores={ncores})")
 
     results = {}
     for d in sizes:
@@ -111,6 +117,7 @@ def main():
         print(json.dumps({
             "metric": f"scaling_fps_mesh{d}", "value": round(fps, 2),
             "unit": "frames/s", "scaling_efficiency": round(eff, 4),
+            "valid": (not virtual) or d <= ncores,
         }), flush=True)
 
     print(json.dumps({

@@ -61,7 +61,9 @@ def main():
 
     results = {}
     for spec in configs.split(";"):
-        Bs, caps, precs = spec.split(":")
+        parts = spec.split(":")
+        Bs, caps, precs = parts[:3]
+        sel_t = int(parts[3]) if len(parts) > 3 else 96
         B, cap = int(Bs), int(caps)
         raster = RasterConfig(
             tile_size=16, tile_capacity=cap, max_tiles_per_gaussian=16,
@@ -69,12 +71,12 @@ def main():
             sel_exact_fwd=PREC[precs],
             buckets=((4, 0.90), (6, 0.06), (9, 0.04)))
         prepare, step_b, P = _make_step_cached_batch(
-            g3, RES, RES, raster, dyn_capacity=128, sel_tiles=96,
+            g3, RES, RES, raster, dyn_capacity=128, sel_tiles=sel_t,
             dyn_max_tiles=9)
 
         def loss_of(scene, states, actions):
             cache = prepare(scene)
-            ns, imgs = step_b(cache, scene, states, actions)
+            ns, imgs, _ = step_b(cache, scene, states, actions)
             return jnp.mean(imgs ** 2), ns
 
         def fwd_bwd(scene, states, actions):
