@@ -135,7 +135,7 @@ def main():
                 new_states, imgs = jax.vmap(
                     lambda s, a: step(scene, s, a))(states, actions)
                 return jnp.mean(imgs ** 2), (new_states,
-                                             jnp.zeros((), jnp.int32))
+                                             jnp.zeros((2,), jnp.int32))
         elif cached and use_sel and backend == "pallas":
             # production env path, round-3 kernel: static background binned
             # + composited once per train step; per-env dynamic lists are
@@ -161,7 +161,7 @@ def main():
                 new_states, imgs = jax.vmap(
                     lambda s, a: step_c(cache, scene, s, a))(states, actions)
                 return jnp.mean(imgs ** 2), (new_states,
-                                             jnp.zeros((), jnp.int32))
+                                             jnp.zeros((2,), jnp.int32))
         else:
             step, P = _make_step(graph_, RES, RES, raster)
 
@@ -169,7 +169,7 @@ def main():
                 new_states, imgs = jax.vmap(
                     lambda s, a: step(scene, s, a))(states, actions)
                 return jnp.mean(imgs ** 2), (new_states,
-                                             jnp.zeros((), jnp.int32))
+                                             jnp.zeros((2,), jnp.int32))
 
         states = jax.jit(jax.vmap(lambda k: pusht.reset(P, k)))(keys)
 
@@ -189,11 +189,13 @@ def main():
         t0 = time.time()
         states, loss, n_drop, grads = jitted(graph_.scene, states, actions)
         jax.block_until_ready(loss)
+        n_over, n_trunc = (int(n_drop[0]), int(n_drop[1]))
         log(f"[{label}] compiled+first step in {time.time() - t0:.1f}s, "
-            f"loss={float(loss):.5f} dropped={int(n_drop)}")
-        if int(n_drop) > 0:
-            log(f"[{label}] WARNING: {int(n_drop)} overflowed/truncated "
-                "render slots — raise BENCH_SEL_TILES/BENCH_DYN_CAP")
+            f"loss={float(loss):.5f} sel_dropped={n_over} "
+            f"bounded_truncated={n_trunc}")
+        if n_over > 0:
+            log(f"[{label}] WARNING: {n_over} sel-dropped tiles (dynamics "
+                "vanished) — raise BENCH_SEL_TILES")
         t0 = time.time()
         for _ in range(iters):
             states, loss, n_drop, grads = jitted(graph_.scene, states, actions)

@@ -127,7 +127,8 @@ def build_product_wrapper(n_total=100_000, sh_degree=3, seed=0,
 
 
 def measure_product(B=8, N=100_000, iters=5, render_size=(240, 320),
-                    log=print, backend=None, sel_tiles=None):
+                    log=print, backend=None, sel_tiles=None,
+                    dyn_capacity=None):
     """Compile + time the 2-camera wrapper step, fwd+bwd wrt the scene.
     Returns env-frames/s (each frame = physics step + 2 rendered cameras)."""
     import jax
@@ -142,8 +143,16 @@ def measure_product(B=8, N=100_000, iters=5, render_size=(240, 320),
     wrapper = _dc.replace(wrapper,
                           raster=wrapper.raster._replace(backend=backend))
     graph = wrapper.graph
+    # the arm+block dynamics (18k gaussians) spread over most of the
+    # 15×20-tile viewport and central tiles exceed 128 dynamic entries:
+    # sel_tiles=160/dyn_cap=128 dropped tiles (overflow=352 in the first
+    # r4 record); 256/256 covers it (overflow logged per run below).  The
+    # product step is moving-EEF-camera dominated, so the extra sel grid
+    # slots are cheap.
     if sel_tiles is None:
-        sel_tiles = int(os.environ.get("PRODUCT_SEL_TILES", "160"))
+        sel_tiles = int(os.environ.get("PRODUCT_SEL_TILES", "256"))
+    if dyn_capacity is None:
+        dyn_capacity = int(os.environ.get("PRODUCT_DYN_CAP", "256"))
 
     keys = jax.random.split(jax.random.key(0), B)
     reset_to = {"robot_pos": np.zeros(6),
@@ -161,7 +170,8 @@ def measure_product(B=8, N=100_000, iters=5, render_size=(240, 320),
         # launch; the moving EEF camera full-rebins per env under vmap
         caches = w.build_render_cache(scene)
         tr = w.step_with_cache_batch(states, actions, caches,
-                                     sel_tiles=sel_tiles)
+                                     sel_tiles=sel_tiles,
+                                     dyn_capacity=dyn_capacity)
         return (jnp.mean(tr.obs["camera_0"] ** 2)
                 + jnp.mean(tr.obs["camera_1"] ** 2),
                 (tr.state, tr.info["render_overflow"][0]))

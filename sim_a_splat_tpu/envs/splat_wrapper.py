@@ -396,8 +396,9 @@ class SplatEnvWrapperF:
         Returns ``(imgs, aux)``: list of (B, 3, H, W) CHW batches per
         camera in ``camera_{i}`` order (CHW throughout — the obs contract
         is CHW and channel-major avoids lane-padded layouts on TPU), and a
-        dict with ``overflowed_tiles`` / ``slot_truncated`` int totals (0
-        where exact).
+        dict with ``dropped_tiles`` (severe: dynamics vanished from
+        unselected tiles — keep 0 via sel_tiles) / ``truncated`` (bounded:
+        nearest-K capacity cut + bbox clipping, error ~term_eps) totals.
         """
         from sim_a_splat_tpu.ops.pallas_composite import CHUNK as _CHUNK
         from sim_a_splat_tpu.ops.projection import (
@@ -458,8 +459,12 @@ class SplatEnvWrapperF:
                         cam, self.raster, dyn_capacity=dyn_capacity,
                         sel_tiles=sel_tiles, dyn_max_tiles=dyn_max_tiles,
                         background=bg)                       # (B, 3, H, W)
-                    overflow = overflow + aux.n_overflowed_tiles
-                    truncated = truncated + aux.n_slot_truncated
+                    # severe: dynamics entirely dropped from unselected
+                    # touched tiles; bounded: nearest-K capacity cut +
+                    # bbox slot clipping (see RasterAux)
+                    overflow = overflow + aux.n_sel_dropped_tiles
+                    truncated = (truncated + aux.n_overflowed_tiles
+                                 + aux.n_slot_truncated)
                 else:
                     def pair_one(m, q, c):
                         img, aux = rasterize_with_cache(
@@ -473,8 +478,9 @@ class SplatEnvWrapperF:
                     img_b, (n_o, n_t) = jax.vmap(pair_one)(
                         d_means, d_quats, d_cols)
                     img_b = jnp.moveaxis(img_b, -1, 1)       # → CHW
-                    overflow = overflow + jnp.sum(n_o)
-                    truncated = truncated + jnp.sum(n_t)
+                    # pair path drops nothing outright: capacity cuts and
+                    # bbox clipping are the bounded class
+                    truncated = truncated + jnp.sum(n_o) + jnp.sum(n_t)
             else:
                 def mv_one(draw, dm, dq):
                     pose = (self._moving_pose(spec, draw)
@@ -501,8 +507,8 @@ class SplatEnvWrapperF:
                 img_b = jnp.moveaxis(                        # → CHW
                     jax.vmap(mv_one)(draws, d_means, d_quats), -1, 1)
             imgs.append(img_b)
-        return imgs, {"overflowed_tiles": overflow,
-                      "slot_truncated": truncated}
+        return imgs, {"dropped_tiles": overflow,        # severe (sel)
+                      "truncated": truncated}           # bounded
 
     def step_with_cache_batch(self, states, actions, caches: dict,
                               noobs: bool = False,
@@ -532,8 +538,13 @@ class SplatEnvWrapperF:
             obs[f"camera_{i}"] = img                         # already CHW
         B = next(iter(obs.values())).shape[0]
         info = dict(tr.info)
+        # render_overflow: SEVERE (dynamics dropped from unselected tiles —
+        # must stay 0; raise sel_tiles).  render_truncated: BOUNDED
+        # (nearest-K capacity cut + bbox slot clipping, error ~term_eps).
         info["render_overflow"] = jnp.broadcast_to(
-            aux["overflowed_tiles"] + aux["slot_truncated"], (B,))
+            aux["dropped_tiles"], (B,))
+        info["render_truncated"] = jnp.broadcast_to(
+            aux["truncated"], (B,))
         return SplatTransition(state=tr.state, obs=obs, reward=tr.reward,
                                terminated=tr.terminated,
                                truncated=tr.truncated, info=info)

@@ -497,10 +497,11 @@ def rasterize_cache_sel_batch(
     depth = untile_b(sel8[:, :, 3, :]) / jnp.maximum(alpha, 1e-10)
     aux = RasterAux(
         tile_counts=cache.counts[None] + dcounts,
-        n_overflowed_tiles=jnp.sum(dcounts > Kd) + jnp.sum(n_over),
+        n_overflowed_tiles=jnp.sum(dcounts > Kd),
         n_slot_truncated=jnp.sum(dtrunc),
         alpha=alpha,
         depth=depth,
+        n_sel_dropped_tiles=jnp.sum(n_over),
     )
     return imgs, aux
 

@@ -77,7 +77,19 @@ class RasterConfig(NamedTuple):
 
 
 class RasterAux(NamedTuple):
-    """Truncation accounting (the fixed-shape analogue of CUDA's exact lists)."""
+    """Truncation accounting (the fixed-shape analogue of CUDA's exact lists).
+
+    Two classes of inexactness, deliberately separated (round 4):
+    - BOUNDED: ``n_overflowed_tiles`` (depth-sorted list cut at capacity —
+      the nearest K kept, the tail's contribution is bounded by the
+      transmittance after K entries, i.e. ~term_eps) and
+      ``n_slot_truncated`` (bbox emission clipped to the bucket's slot
+      count, nearest-origin tiles kept).  Policy knobs, reported.
+    - SEVERE: ``n_sel_dropped_tiles`` (selected-tile path only: touched
+      tiles beyond ``sel_tiles`` fall back to the static composite — their
+      dynamics VANISH, zero gradient).  Must be 0 in production; surfaced
+      as ``info['render_overflow']`` by the env wrapper.
+    """
 
     tile_counts: jnp.ndarray        # (T,) gaussians binned per tile —
                                     # (B, T) per-env from batched renders
@@ -86,6 +98,8 @@ class RasterAux(NamedTuple):
     n_slot_truncated: jnp.ndarray    # gaussians whose tile bbox exceeded M
     alpha: jnp.ndarray              # (H, W) final opacity
     depth: jnp.ndarray              # (H, W) alpha-weighted mean depth
+    n_sel_dropped_tiles: object = 0  # sel path: tiles whose dynamics were
+                                     # entirely dropped (sel_tiles overflow)
 
 
 def _emit_tiles(tx0, ty0, bw, nt, rank, gid, M, tx, T, N):

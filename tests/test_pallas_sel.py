@@ -60,10 +60,11 @@ def test_sel_batch_matches_pair(term_eps):
         cache, scomp, *a, cam, cfg, dyn_capacity=128, sel_tiles=6,
         dyn_max_tiles=9))(*batch_dyn(dyn, offsets))
 
-    # rule out overflow: an overflowed tile silently compares the static
+    # rule out sel drops: a dropped tile silently compares the static
     # composite against the pair render (ADVICE r3; sel_tiles=4 left 2
-    # overflowed tiles whose dynamics were sub-threshold — not a real match)
-    assert int(aux.n_overflowed_tiles) == 0
+    # dropped tiles whose dynamics were sub-threshold — not a real match)
+    assert int(aux.n_sel_dropped_tiles) == 0
+    assert int(aux.n_overflowed_tiles) == 0   # no capacity cut either
 
     for b, off in enumerate(offsets):
         img_pair = jax.jit(lambda o: rasterize_with_cache(
@@ -92,8 +93,8 @@ def test_sel_overflow_falls_back_to_static():
     imgs_one, aux_one = jax.jit(lambda *a: rasterize_cache_sel_batch(
         cache, scomp, *a, cam, CFG, dyn_capacity=128, sel_tiles=1))(*args)
 
-    assert int(aux_full.n_overflowed_tiles) == 0
-    assert int(aux_one.n_overflowed_tiles) > 0
+    assert int(aux_full.n_sel_dropped_tiles) == 0
+    assert int(aux_one.n_sel_dropped_tiles) > 0
     # the one selected tile still composites exactly; the rest differ only
     # where dynamic gaussians were dropped (finite anyway)
     assert np.isfinite(np.asarray(imgs_one)).all()

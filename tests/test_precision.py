@@ -65,6 +65,7 @@ def test_bf16_color_opacity_fields_tight():
         assert e < 4e-3, f"bf16 {field}: max pixel error {e:.5f}"
 
 
+@pytest.mark.slow
 def test_bf16_storage_gradient_direction():
     """Gradients at bf16-quantized parameters must stay directionally
     faithful: cosine ≥ 0.999 per field (measured ≥ 0.9997)."""

@@ -5,6 +5,7 @@ with assertions instead of an infinite random walk)."""
 from pathlib import Path
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -204,6 +205,7 @@ def test_step_with_cache_batch_matches_per_env():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_step_with_cache_batch_grads_match_per_env():
     import dataclasses
 
@@ -262,6 +264,7 @@ def test_step_with_cache_batch_surfaces_overflow():
     assert int(tr.info["render_overflow"][0]) > 0
 
 
+@pytest.mark.slow
 def test_step_with_cache_batch_xla_fallback():
     """With a non-pallas backend the batch path falls back to the per-env
     pair/merge route and still matches."""
@@ -279,6 +282,7 @@ def test_step_with_cache_batch_xla_fallback():
                                        atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_render_with_cache_differentiable():
     """Pixel grads must flow through the cached path into the scene (cache
     build AND per-frame dynamic route)."""
