@@ -214,6 +214,32 @@ def main():
     log(f"scene build+put: {time.time() - t0:.1f}s")
     fps = measure("primary:sh3_cached", g3, use_cache, ITERS)
 
+    def roofline(fps):
+        """Analytic speed-of-light accounting for the primary config
+        (VERDICT r4 #4) — model FLOPs/bytes per frame vs v5e peaks
+        (197 TFLOP/s bf16 MXU, 819 GB/s HBM).  Upper-bound work model
+        (term_eps early-stop not modeled; the measured-count version is
+        benchmarks/profile_sel.py / PROFILE.md)."""
+        ts, P_, Kd, C = 16, 256, dyn_cap, 128
+        T = (RES // ts) ** 2
+        ncs = cap // C
+        # sel kernel: per slot, ncs chunks × 2 (P,Kd)×(Kd,C)-class dots at
+        # 3 bf16-split passes; fwd+bwd ≈ 3.5× fwd; slots/env ≤ sel_tiles
+        mxu = (sel_tiles * ncs * 2 * 2 * P_ * Kd * C * 3) * 3.5
+        # per-frame HBM: sel blocks + per-step static prepare ÷ B
+        hbm = (sel_tiles * (10 * cap + 10 * Kd + 2 * 8 * P_) * 4 * 2
+               + (N * (14 + 48 + 8) * 4 + T * cap * 10 * 4 * 2 * 2) / B)
+        t_frame = 1.0 / fps
+        return {
+            "model_mxu_tflop_frame": round(mxu / 1e12, 4),
+            "model_hbm_mb_frame": round(hbm / 1e6, 2),
+            "mxu_util": round(mxu / 197e12 / t_frame, 4),
+            "bw_util": round(hbm / 819e9 / t_frame, 4),
+        }
+
+    sol = roofline(fps)
+    log(f"roofline (model): {json.dumps(sol)}")
+
     out_variants = {}
 
     def run_variant(name, fn, min_left=60.0):
@@ -257,20 +283,12 @@ def main():
 
         run_variant("moving_camera", moving, min_left=75.0)
 
-        def dc():
-            g0 = build(N, sh_degree=0)
-            fps0 = measure("variant:dc_cached", g0, use_cache,
-                           max(ITERS // 2, 3))
-            return fps0, "frames/s/chip", dict(
-                metric=f"dc_only_cached_{RES}x{RES}_fwdbwd")
-
-        run_variant("dc_cached", dc, min_left=60.0)
-
         if scales:
             # reference-scene scale: divar113vhw = 292,247 gaussians,
-            # robots-scene-v2 = 113,831 (SURVEY §6 mask counts)
+            # robots-scene-v2 = 113,831 (SURVEY §6 mask counts) — ranked
+            # above the DC-only variant: scale behavior is a round-3 gap
             for n_ref, tag in ((292247, "divar_292k"), (113831, "xarm_114k")):
-                def scale(n_ref=n_ref):
+                def scale(n_ref=n_ref, tag=tag):
                     gs = build(n_ref, sh_degree=3)
                     fpss = measure(f"variant:sh3_{tag}", gs, use_cache,
                                    max(ITERS // 2, 3))
@@ -280,6 +298,15 @@ def main():
 
                 run_variant(f"scale_{tag}", scale, min_left=75.0)
 
+        def dc():
+            g0 = build(N, sh_degree=0)
+            fps0 = measure("variant:dc_cached", g0, use_cache,
+                           max(ITERS // 2, 3))
+            return fps0, "frames/s/chip", dict(
+                metric=f"dc_only_cached_{RES}x{RES}_fwdbwd")
+
+        run_variant("dc_cached", dc, min_left=60.0)
+
     target_per_chip = 10_000 / 16.0
     result = {
         "metric": f"pusht_splat_env_sh3_frames_per_s_per_chip_{RES}x{RES}_fwdbwd",
@@ -288,6 +315,7 @@ def main():
         "vs_baseline": round(fps / target_per_chip, 4),
         "B": B,
         "N": N,
+        "sol": sol,
         "variants": out_variants,
     }
     print(json.dumps(result), flush=True)

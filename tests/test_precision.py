@@ -8,6 +8,7 @@ scene-scale caveat on ``means``).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
