@@ -68,8 +68,16 @@ def _pixel_coords_tid(tid, ts: int, tx: int, dtype):
 
 
 def _fwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, out_ref,
-                acc_ref, ts_ref, ld_ref, ad_ref, ltsd_ref, alive_ref,
-                *, ts, tx, ncs, ndc, power_min, term_eps, exact):
+                *rest, ts, tx, ncs, ndc, power_min, term_eps, exact,
+                save_state):
+    if save_state:
+        # training forward: also emit the per-slot ltsd state so the
+        # backward can skip its pass-A forward replay entirely
+        (ltsd_out_ref, acc_ref, ts_ref, ld_ref, ad_ref, ltsd_ref,
+         alive_ref) = rest
+    else:
+        ltsd_out_ref = None
+        acc_ref, ts_ref, ld_ref, ad_ref, ltsd_ref, alive_ref = rest
     P = ts * ts
     f32 = spay_ref.dtype
     Kd = dpay_ref.shape[-1]
@@ -86,6 +94,8 @@ def _fwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, out_ref,
     ad_ref[...] = jnp.zeros((P, Kd), f32)
     ltsd_ref[...] = jnp.zeros((P, Kd), f32)
     alive_ref[0] = jnp.int32(1)
+    alive_ref[1] = jnp.int32(0)    # applied-chunk count (a prefix: the
+                                   # alive bit only ever falls)
 
     _dyn_log_alphas(dpay_ref, count_d, px, py, power_min, ld_ref, ad_ref, ndc)
     dd = dpay_ref[_ROW_DEPTH:_ROW_DEPTH + 1, :]               # (1, Kd)
@@ -95,6 +105,7 @@ def _fwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, out_ref,
 
         @pl.when((alive_ref[0] == 1) & (c0 < count_s))
         def _():
+            alive_ref[1] = alive_ref[1] + 1
             alpha, _, _, _, _, _, _, _ = _chunk_geometry(
                 spay_ref, c0, px, py, power_min)
             ls = jnp.log1p(-alpha)
@@ -131,20 +142,31 @@ def _fwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, out_ref,
 
     # channel-major (8, P) output block: a (…, P, 8) layout pads the lane
     # dim 8 → 128 (16× HBM expansion, the round-4 OOM at B=128); (…, 8, P)
-    # tiles exactly.  One small in-VMEM transpose per tile.
+    # tiles exactly.  One small in-VMEM transpose per tile.  Row 5 (spare)
+    # carries the applied-chunk count in the training forward — the
+    # backward's gating state — so no extra scalar output is needed.
     sum_ld = jnp.sum(ld_ref[...], axis=1, keepdims=True)
+    napp = jnp.full((P, 1), alive_ref[1], f32) if save_state else \
+        jnp.zeros((P, 1), f32)
     res = jnp.concatenate(
-        [acc_ref[...], ts_ref[...] * jnp.exp(sum_ld),
-         jnp.zeros((P, 3), f32)], axis=1)                     # (P, 8)
+        [acc_ref[...], ts_ref[...] * jnp.exp(sum_ld), napp,
+         jnp.zeros((P, 2), f32)], axis=1)                     # (P, 8)
     out_ref[...] = res.T
+    if save_state:
+        ltsd_out_ref[...] = ltsd_ref[...]
 
 
 def _bwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, ct_ref,
-                fwd_ref, gs_ref, gd_ref,
-                ts_ref, ld_ref, ad_ref, ltsd_ref, prefix_ref, sdyn_ref,
-                bdwd_ref, applied_ref,
+                fwd_ref, ltsd_in_ref, gs_ref, gd_ref,
+                ts_ref, ld_ref, ad_ref, prefix_ref, sdyn_ref,
+                bdwd_ref,
                 *, ts, tx, ncs, ndc, power_min, term_eps, exact_fwd,
                 exact_bwd):
+    """Gradient kernel.  The forward's sequential transmittance state is
+    NOT replayed (the round-3 pass A): the training forward saves its
+    exact ltsd (dyn log-transmittance-from-statics) block and encodes the
+    applied-chunk count in output row 5, so this kernel starts directly
+    at the gradient walk — ~⅓ less work, bit-identical gating."""
     P = ts * ts
     f32 = spay_ref.dtype
     Kd = dpay_ref.shape[-1]
@@ -160,39 +182,11 @@ def _bwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, ct_ref,
     ts_ref[...] = jnp.ones((P, 1), f32)
     ld_ref[...] = jnp.zeros((P, Kd), f32)
     ad_ref[...] = jnp.zeros((P, Kd), f32)
-    ltsd_ref[...] = jnp.zeros((P, Kd), f32)
     sdyn_ref[...] = jnp.zeros((P, Kd), f32)
     prefix_ref[...] = jnp.zeros((P, 1), f32)
-    applied_ref[0] = jnp.int32(1)        # running alive bit during pass A
 
     _dyn_log_alphas(dpay_ref, count_d, px, py, power_min, ld_ref, ad_ref, ndc)
     dd = dpay_ref[_ROW_DEPTH:_ROW_DEPTH + 1, :]
-
-    # ---- pass A: replay the forward's sequential transmittance state ----
-    for c in range(ncs):
-        c0 = c * CHUNK
-        applied_ref[1 + c] = jnp.where(
-            (applied_ref[0] == 1) & (c0 < count_s), 1, 0).astype(jnp.int32)
-
-        @pl.when(applied_ref[1 + c] == 1)
-        def _():
-            alpha, _, _, _, _, _, _, _ = _chunk_geometry(
-                spay_ref, c0, px, py, power_min)
-            ls = jnp.log1p(-alpha)
-            ind, ds = _static_chunk_ind(spay_ref, c0, dd)
-            ltsd_ref[...] += _dot(ls, ind, ((1,), (0,)), exact=exact_bwd)
-            cs = _cumsum_lanes(ls, CHUNK)
-            ts_new = ts_ref[...] * jnp.exp(cs[:, CHUNK - 1:CHUNK])
-            ts_ref[...] = ts_new
-            if term_eps is not None:
-                lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-                act = lane < (count_s - c0)
-                dbound = jnp.max(jnp.where(act, ds, -jnp.inf))
-                td_b = jnp.exp(jnp.sum(
-                    jnp.where(dd < dbound, ld_ref[...], 0.0),
-                    axis=1, keepdims=True))
-                applied_ref[0] = (jnp.max(ts_new * td_b)
-                                  >= term_eps).astype(jnp.int32)
 
     ct_t = ct_ref[...].T                                      # (P, 8)
     fwd_t = fwd_ref[...].T                                    # (P, 8)
@@ -200,11 +194,14 @@ def _bwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, ct_ref,
     ct_tc = ct_t[:, 4:5]
     s_tot = jnp.sum(ct_rgbd * fwd_t[:, 0:4], axis=1, keepdims=True)
     trans_term = ct_tc * fwd_t[:, 4:5]
+    # applied-chunk count saved by the forward (row 5, broadcast over P —
+    # reduce to a scalar; scalar VMEM loads don't lower cleanly in Mosaic)
+    n_applied = jnp.max(fwd_t[:, 5]).astype(jnp.int32)
 
     ld = ld_ref[...]
     ad = ad_ref[...]
     csd = _cumsum_lanes(ld, Kd)
-    texcl_d = jnp.exp(csd - ld + ltsd_ref[...])               # (P, Kd)
+    texcl_d = jnp.exp(csd - ld + ltsd_in_ref[...])            # (P, Kd)
     wd = ad * texcl_d
     crgbd_d = dpay_ref[_ROW_RGBD, :]
     bd = _dot(ct_rgbd, crgbd_d, ((1,), (0,)))                 # (P, Kd)
@@ -212,11 +209,10 @@ def _bwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, ct_ref,
     sum_bdwd = jnp.sum(bdwd_ref[...], axis=1, keepdims=True)  # (P, 1)
 
     # ---- pass B: static gradients with union suffix sums ----
-    ts_ref[...] = jnp.ones((P, 1), f32)
     for c in range(ncs):
         c0 = c * CHUNK
 
-        @pl.when(applied_ref[1 + c] == 1)
+        @pl.when(c < n_applied)
         def _():
             alpha, active, expp, dx, dy, ca, cb, cc = _chunk_geometry(
                 spay_ref, c0, px, py, power_min)
@@ -298,14 +294,23 @@ def _bwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, ct_ref,
 
 
 def _call_fwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ts, tx,
-              power_min, interpret, term_eps, exact):
+              power_min, interpret, term_eps, exact, save_state=False):
     T1, _, Ks = spay_pad.shape
     B, TT = ids.shape
     Kd = dpay.shape[-1]
     P = ts * ts
     kern = functools.partial(
         _fwd_kernel, ts=ts, tx=tx, ncs=Ks // CHUNK, ndc=Kd // CHUNK,
-        power_min=power_min, term_eps=term_eps, exact=exact)
+        power_min=power_min, term_eps=term_eps, exact=exact,
+        save_state=save_state)
+    out_specs = pl.BlockSpec(
+        (None, None, 8, P), lambda b, i, ids, cs, cd: (b, ids[b, i], 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B, T1, 8, P), spay_pad.dtype)
+    if save_state:
+        out_specs = [out_specs, pl.BlockSpec(
+            (None, None, P, Kd), lambda b, i, ids, cs, cd: (b, i, 0, 0))]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B, TT, P, Kd), spay_pad.dtype)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, TT),
@@ -315,26 +320,25 @@ def _call_fwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ts, tx,
             pl.BlockSpec((None, None, 10, Kd),
                          lambda b, i, ids, cs, cd: (b, i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (None, None, 8, P), lambda b, i, ids, cs, cd: (b, ids[b, i], 0, 0)),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((P, 4), spay_pad.dtype),
             pltpu.VMEM((P, 1), spay_pad.dtype),
             pltpu.VMEM((P, Kd), spay_pad.dtype),
             pltpu.VMEM((P, Kd), spay_pad.dtype),
             pltpu.VMEM((P, Kd), spay_pad.dtype),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
         ],
     )
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, T1, 8, P), spay_pad.dtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(ids, counts_s_pad, counts_d, spay_pad, dpay)
 
 
 def _call_bwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ct, fwd_out,
-              ts, tx, power_min, interpret, term_eps, exact_fwd,
+              ltsd, ts, tx, power_min, interpret, term_eps, exact_fwd,
               exact_bwd):
     T1, _, Ks = spay_pad.shape
     B, TT = ids.shape
@@ -357,6 +361,8 @@ def _call_bwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ct, fwd_out,
                          lambda b, i, ids, cs, cd: (b, ids[b, i], 0, 0)),
             pl.BlockSpec((None, None, 8, P),
                          lambda b, i, ids, cs, cd: (b, ids[b, i], 0, 0)),
+            pl.BlockSpec((None, None, P, Kd),
+                         lambda b, i, ids, cs, cd: (b, i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((None, None, 10, Ks),
@@ -368,11 +374,9 @@ def _call_bwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ct, fwd_out,
             pltpu.VMEM((P, 1), spay_pad.dtype),    # ts carry
             pltpu.VMEM((P, Kd), spay_pad.dtype),   # ld
             pltpu.VMEM((P, Kd), spay_pad.dtype),   # ad
-            pltpu.VMEM((P, Kd), spay_pad.dtype),   # ltsd
             pltpu.VMEM((P, 1), spay_pad.dtype),    # static prefix
             pltpu.VMEM((P, Kd), spay_pad.dtype),   # Σ bs·ws before dyn
             pltpu.VMEM((P, Kd), spay_pad.dtype),   # bd·wd
-            pltpu.SMEM((1 + ncs,), jnp.int32),     # alive + applied bits
         ],
     )
     return pl.pallas_call(
@@ -382,7 +386,7 @@ def _call_bwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ct, fwd_out,
             jax.ShapeDtypeStruct((B, TT, 10, Kd), spay_pad.dtype),
         ],
         interpret=interpret,
-    )(ids, counts_s_pad, counts_d, spay_pad, dpay, ct, fwd_out)
+    )(ids, counts_s_pad, counts_d, spay_pad, dpay, ct, fwd_out, ltsd)
 
 
 def _scatter_rows(gs_sel: jnp.ndarray, ids: jnp.ndarray, T1: int):
@@ -433,19 +437,20 @@ def composite_pair_sel(spay_pad, dpay, ids, counts_s_pad, counts_d,
 def _sel_fwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ts, tx,
              sigma_cutoff, interpret, term_eps, exact_fwd, exact_bwd):
     pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
-    out = _call_fwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ts, tx,
-                    pmin, interpret, term_eps, exact_fwd)
-    return out, (spay_pad, dpay, ids, counts_s_pad, counts_d, out)
+    out, ltsd = _call_fwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ts,
+                          tx, pmin, interpret, term_eps, exact_fwd,
+                          save_state=True)
+    return out, (spay_pad, dpay, ids, counts_s_pad, counts_d, out, ltsd)
 
 
 def _sel_bwd(ts, tx, sigma_cutoff, interpret, term_eps, exact_fwd,
              exact_bwd, res, ct):
     import numpy as _np
 
-    spay_pad, dpay, ids, counts_s_pad, counts_d, out = res
+    spay_pad, dpay, ids, counts_s_pad, counts_d, out, ltsd = res
     pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
     gs_sel, gd = _call_bwd(spay_pad, dpay, ids, counts_s_pad, counts_d,
-                           ct, out, ts, tx, pmin, interpret, term_eps,
+                           ct, out, ltsd, ts, tx, pmin, interpret, term_eps,
                            exact_fwd, exact_bwd)
     gs_pad = _scatter_rows(gs_sel, ids, spay_pad.shape[0])
     zero = lambda a: _np.zeros(a.shape, jax.dtypes.float0)
