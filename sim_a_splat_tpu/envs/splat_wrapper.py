@@ -519,10 +519,13 @@ class SplatEnvWrapperF:
         selected-tile render per fixed camera (the production train loop —
         build ``caches`` once per train step, shared across the batch).
 
-        ``info['render_overflow']`` carries the total count of tiles whose
-        dynamic gaussians were dropped (sel_tiles overflow or dyn_capacity
-        overflow) — nonzero means images/grads silently degrade; raise
-        ``sel_tiles`` (see :meth:`render_with_cache_batch` sizing rule).
+        ``info['render_overflow']`` counts ONLY the severe class: tiles
+        whose dynamics were dropped outright by ``sel_tiles`` overflow
+        (they render the static composite — zero gradient); nonzero means
+        images/grads silently degrade, raise ``sel_tiles`` (see
+        :meth:`render_with_cache_batch` sizing rule).  ``dyn_capacity``
+        cuts are the BOUNDED class (nearest-K kept, tail error ~term_eps)
+        and are reported in ``info['render_truncated']`` instead.
         """
         tr = jax.vmap(self.env.step)(states, actions)
         if noobs:

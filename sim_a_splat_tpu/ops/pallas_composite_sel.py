@@ -425,9 +425,14 @@ def composite_pair_sel(spay_pad, dpay, ids, counts_s_pad, counts_d,
       counts_d: (B, TT) int32 active dynamic entries (0 at pad slots).
 
     Returns (B, T+1, 8, P) channel-major per-pixel [rgb, depth_acc, trans,
-    0×3] written ONLY at selected rows — unselected rows are uninitialized
-    and the trash row is the pads' empty composite; the caller must
-    where-select against the static composite before consuming.
+    rows 5-7] written ONLY at selected rows — unselected rows are
+    uninitialized and the trash row is the pads' empty composite; the
+    caller must where-select against the static composite before
+    consuming.  Rows 5-7 are 0×3 in the primal; under differentiation the
+    training forward (``_sel_fwd``, save_state=True) stashes the
+    applied-static-chunk count in row 5 as backward state — consumers must
+    treat rows 5-7 as kernel-internal, never as data (their cotangents are
+    ignored).
     """
     pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
     return _call_fwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ts, tx,

@@ -60,9 +60,9 @@ class RasterConfig(NamedTuple):
     fused_pair: bool = True        # cached path: merge-free interleaved kernel
     # Selected-tile fused kernel (pallas_composite_sel) MXU precision for
     # the log-transmittance contractions: True = full-f32 HIGHEST (6 bf16
-    # passes), "split" = hi/lo-bf16 split against the 0/1 indicator operand
-    # (f32-exact in 2 default passes — see _dot; round-4 default), False =
-    # 1-pass bf16.  Backward keeps default precision — gradients move by
+    # passes), "split" = 3-term hi/mid/lo-bf16 split against the 0/1
+    # indicator operand (f32-exact in 3 default passes, ~2× cheaper than
+    # HIGHEST's 6 — see _dot; round-4 default), False = 1-pass bf16.  Backward keeps default precision — gradients move by
     # ~the bf16 unit (≤0.5 %), far below the pair-vs-merge formula spread
     # (PRECISION.md).
     sel_exact_fwd: object = "split"
