@@ -201,6 +201,57 @@ def measure_product(B=8, N=100_000, iters=5, render_size=(240, 320),
     return fps
 
 
+def measure_latency(N=100_000, iters=10, render_size=(240, 320), log=print,
+                    backend=None):
+    """Teleop step latency: ONE env (B=1) step + 2-camera render, forward
+    only, caches prebuilt outside the timed step (the scene does not change
+    during teleop).  Returns post-compile milliseconds per step — the
+    number the reference's 10 Hz human-in-the-loop clock cares about
+    (demo_pusht_splat.py:171)."""
+    import jax
+    import jax.numpy as jnp
+    import dataclasses as _dc
+
+    dev = jax.devices()[0]
+    if backend is None:
+        backend = "pallas" if dev.platform in ("tpu", "axon") else "xla"
+    wrapper = build_product_wrapper(n_total=N, render_size=render_size)
+    wrapper = _dc.replace(wrapper,
+                          raster=wrapper.raster._replace(backend=backend))
+    sel_tiles = int(os.environ.get("PRODUCT_SEL_TILES", "256"))
+    dyn_capacity = int(os.environ.get("PRODUCT_DYN_CAP", "256"))
+
+    keys = jax.random.split(jax.random.key(0), 1)
+    reset_to = {"robot_pos": np.zeros(6),
+                "block_pos": np.array([0.45, 0.0, 0.2, 0.0])}
+    states, _ = jax.jit(jax.vmap(
+        lambda k: wrapper.env.reset(k, reset_to)))(keys)
+    actions = jnp.tile(jnp.asarray(
+        [0.0, 0.3, 0.4, 0.0, 0.4, 0.0], jnp.float32), (1, 1))
+    caches = jax.jit(wrapper.build_render_cache)(wrapper.graph.scene)
+    jax.block_until_ready(caches)
+
+    @jax.jit
+    def step(states, actions):
+        tr = wrapper.step_with_cache_batch(states, actions, caches,
+                                           sel_tiles=sel_tiles,
+                                           dyn_capacity=dyn_capacity)
+        return tr.state, tr.obs["camera_0"], tr.obs["camera_1"]
+
+    log(f"[latency] compiling... (B=1 {render_size} 2 cams fwd)")
+    t0 = time.time()
+    states, c0, c1 = step(states, actions)
+    jax.block_until_ready(c0)
+    log(f"[latency] compiled+first step in {time.time() - t0:.1f}s")
+    t0 = time.time()
+    for _ in range(iters):
+        states, c0, c1 = step(states, actions)
+    jax.block_until_ready(c0)
+    ms = 1e3 * (time.time() - t0) / iters
+    log(f"[latency] {ms:.1f} ms/step (B=1, fwd, 2×{render_size})")
+    return ms
+
+
 if __name__ == "__main__":
     import json
 

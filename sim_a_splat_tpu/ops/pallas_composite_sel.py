@@ -69,7 +69,7 @@ def _pixel_coords_tid(tid, ts: int, tx: int, dtype):
 
 def _fwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, out_ref,
                 *rest, ts, tx, ncs, ndc, power_min, term_eps, exact,
-                save_state):
+                save_state, per_env):
     if save_state:
         # training forward: also emit the per-slot ltsd state so the
         # backward can skip its pass-A forward replay entirely
@@ -85,7 +85,8 @@ def _fwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, out_ref,
     i = pl.program_id(1)
     tid = ids_ref[b, i]
     px, py = _pixel_coords_tid(tid, ts, tx, f32)
-    count_s = cs_ref[tid]          # pad slots: tid = T ⇒ cs_ref[T] = 0
+    # pad slots: tid = T ⇒ counts_s[…, T] = 0
+    count_s = cs_ref[b, tid] if per_env else cs_ref[tid]
     count_d = cd_ref[b, i]
 
     acc_ref[...] = jnp.zeros((P, 4), f32)
@@ -103,7 +104,7 @@ def _fwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, out_ref,
     for c in range(ncs):                                      # static unroll
         c0 = c * CHUNK
 
-        @pl.when((alive_ref[0] == 1) & (c0 < count_s))
+        @pl.when((alive_ref[0] == 1) & (c0 < count_s) & (count_d > 0))
         def _():
             alive_ref[1] = alive_ref[1] + 1
             alpha, _, _, _, _, _, _, _ = _chunk_geometry(
@@ -130,6 +131,30 @@ def _fwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, out_ref,
                 td_b = jnp.exp(jnp.sum(
                     jnp.where(dd < dbound, ld, 0.0), axis=1, keepdims=True))
                 alive_ref[0] = (jnp.max(ts_new * td_b)
+                                >= term_eps).astype(jnp.int32)
+
+        # dyn-free specialization: with no dynamic entries in the tile the
+        # interleave state is trivial (ld ≡ 0 ⇒ logtd ≡ 0, ltsd untouched),
+        # so the two big (·,Kd)-class exact MXU dots vanish and the chunk
+        # reduces to a plain single-list composite step.  The moving-camera
+        # dense path composites ~90% dyn-free tiles per env — this is most
+        # of its kernel time (the fixed sel path selects only dyn-touched
+        # tiles, so it never takes this branch).
+        @pl.when((alive_ref[0] == 1) & (c0 < count_s) & (count_d == 0))
+        def _():
+            alive_ref[1] = alive_ref[1] + 1
+            alpha, _, _, _, _, _, _, _ = _chunk_geometry(
+                spay_ref, c0, px, py, power_min)
+            ls = jnp.log1p(-alpha)
+            cs = _cumsum_lanes(ls, CHUNK)
+            tsv = ts_ref[...]
+            w = alpha * jnp.exp(cs - ls) * tsv                # (P, C)
+            crgbd = spay_ref[_ROW_RGBD, c0:c0 + CHUNK]        # (4, C)
+            acc_ref[...] += _dot(w, crgbd, ((1,), (1,)))
+            ts_new = tsv * jnp.exp(cs[:, CHUNK - 1:CHUNK])
+            ts_ref[...] = ts_new
+            if term_eps is not None:
+                alive_ref[0] = (jnp.max(ts_new)
                                 >= term_eps).astype(jnp.int32)
 
     @pl.when(count_d > 0)
@@ -161,7 +186,7 @@ def _bwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, ct_ref,
                 ts_ref, ld_ref, ad_ref, prefix_ref, sdyn_ref,
                 bdwd_ref,
                 *, ts, tx, ncs, ndc, power_min, term_eps, exact_fwd,
-                exact_bwd):
+                exact_bwd, per_env):
     """Gradient kernel.  The forward's sequential transmittance state is
     NOT replayed (the round-3 pass A): the training forward saves its
     exact ltsd (dyn log-transmittance-from-statics) block and encodes the
@@ -174,7 +199,7 @@ def _bwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, ct_ref,
     i = pl.program_id(1)
     tid = ids_ref[b, i]
     px, py = _pixel_coords_tid(tid, ts, tx, f32)
-    count_s = cs_ref[tid]
+    count_s = cs_ref[b, tid] if per_env else cs_ref[tid]
     count_d = cd_ref[b, i]
 
     gs_ref[...] = jnp.zeros_like(gs_ref)
@@ -209,10 +234,35 @@ def _bwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, ct_ref,
     sum_bdwd = jnp.sum(bdwd_ref[...], axis=1, keepdims=True)  # (P, 1)
 
     # ---- pass B: static gradients with union suffix sums ----
+    def static_grad_chunk(c0, alpha, active, expp, dx, dy, ca, cb, cc,
+                          texcl_u, suffix, bs):
+        """Shared tail of the static-chunk gradient (both dyn branches)."""
+        one_m = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_CLAMP)
+        dalpha = bs * texcl_u - (suffix + trans_term) / one_m
+        w = alpha * texcl_u
+        dop_pc = dalpha * expp * active
+        dpower = dalpha * alpha * active
+        ddx = dpower * (-(ca * dx + cb * dy))
+        ddy = dpower * (-(cc * dy + cb * dx))
+        sl = slice(c0, c0 + CHUNK)
+        gs_ref[_ROW_X:_ROW_X + 1, sl] = -jnp.sum(
+            ddx, axis=0, keepdims=True)
+        gs_ref[_ROW_Y:_ROW_Y + 1, sl] = -jnp.sum(
+            ddy, axis=0, keepdims=True)
+        gs_ref[_ROW_CA:_ROW_CA + 1, sl] = jnp.sum(
+            dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
+        gs_ref[_ROW_CB:_ROW_CB + 1, sl] = jnp.sum(
+            dpower * (-dx * dy), axis=0, keepdims=True)
+        gs_ref[_ROW_CC:_ROW_CC + 1, sl] = jnp.sum(
+            dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
+        gs_ref[_ROW_RGBD, sl] = _dot(ct_rgbd, w, ((0,), (0,)))
+        gs_ref[_ROW_OP:_ROW_OP + 1, sl] = jnp.sum(
+            dop_pc, axis=0, keepdims=True)
+
     for c in range(ncs):
         c0 = c * CHUNK
 
-        @pl.when(c < n_applied)
+        @pl.when((c < n_applied) & (count_d > 0))
         def _():
             alpha, active, expp, dx, dy, ca, cb, cc = _chunk_geometry(
                 spay_ref, c0, px, py, power_min)
@@ -224,36 +274,37 @@ def _bwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, ct_ref,
                      - _dot(ld_ref[...], ind, ((1,), (1,)), exact=exact_bwd))
             tsv = ts_ref[...]
             texcl_u = (cp / om) * jnp.exp(logtd) * tsv        # w/α
-            w = alpha * texcl_u
             crgbd = spay_ref[_ROW_RGBD, c0:c0 + CHUNK]
             bs = _dot(ct_rgbd, crgbd, ((1,), (0,)))           # (P, C)
-            bw = bs * w
+            bw = bs * alpha * texcl_u
             incl = _cumsum_lanes(bw, CHUNK)
             sd_before = sum_bdwd - _dot(bdwd, ind, ((1,), (1,)), exact=exact_bwd)
             suffix = s_tot - (prefix_ref[...] + incl + sd_before)
-            one_m = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_CLAMP)
-            dalpha = bs * texcl_u - (suffix + trans_term) / one_m
-
-            dop_pc = dalpha * expp * active
-            dpower = dalpha * alpha * active
-            ddx = dpower * (-(ca * dx + cb * dy))
-            ddy = dpower * (-(cc * dy + cb * dx))
-            sl = slice(c0, c0 + CHUNK)
-            gs_ref[_ROW_X:_ROW_X + 1, sl] = -jnp.sum(
-                ddx, axis=0, keepdims=True)
-            gs_ref[_ROW_Y:_ROW_Y + 1, sl] = -jnp.sum(
-                ddy, axis=0, keepdims=True)
-            gs_ref[_ROW_CA:_ROW_CA + 1, sl] = jnp.sum(
-                dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
-            gs_ref[_ROW_CB:_ROW_CB + 1, sl] = jnp.sum(
-                dpower * (-dx * dy), axis=0, keepdims=True)
-            gs_ref[_ROW_CC:_ROW_CC + 1, sl] = jnp.sum(
-                dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
-            gs_ref[_ROW_RGBD, sl] = _dot(ct_rgbd, w, ((0,), (0,)))
-            gs_ref[_ROW_OP:_ROW_OP + 1, sl] = jnp.sum(
-                dop_pc, axis=0, keepdims=True)
+            static_grad_chunk(c0, alpha, active, expp, dx, dy, ca, cb, cc,
+                              texcl_u, suffix, bs)
 
             sdyn_ref[...] += _dot(bw, ind, ((1,), (0,)), exact=exact_bwd)
+            prefix_ref[...] += incl[:, CHUNK - 1:CHUNK]
+            ts_ref[...] = tsv * cp[:, CHUNK - 1:CHUNK]
+
+        # dyn-free specialization (see the forward kernel): ld ≡ 0 and
+        # bdwd ≡ 0 make logtd/sd_before/sdyn trivial — all three
+        # (·,Kd)-class dots drop out of the chunk.
+        @pl.when((c < n_applied) & (count_d == 0))
+        def _():
+            alpha, active, expp, dx, dy, ca, cb, cc = _chunk_geometry(
+                spay_ref, c0, px, py, power_min)
+            om = 1.0 - alpha
+            cp = _cumprod_lanes(om, CHUNK)
+            tsv = ts_ref[...]
+            texcl_u = (cp / om) * tsv                         # w/α
+            crgbd = spay_ref[_ROW_RGBD, c0:c0 + CHUNK]
+            bs0 = _dot(ct_rgbd, crgbd, ((1,), (0,)))          # (P, C)
+            bw = bs0 * alpha * texcl_u
+            incl = _cumsum_lanes(bw, CHUNK)
+            suffix = s_tot - (prefix_ref[...] + incl)
+            static_grad_chunk(c0, alpha, active, expp, dx, dy, ca, cb, cc,
+                              texcl_u, suffix, bs0)
             prefix_ref[...] += incl[:, CHUNK - 1:CHUNK]
             ts_ref[...] = tsv * cp[:, CHUNK - 1:CHUNK]
 
@@ -295,14 +346,15 @@ def _bwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, ct_ref,
 
 def _call_fwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ts, tx,
               power_min, interpret, term_eps, exact, save_state=False):
-    T1, _, Ks = spay_pad.shape
+    per_env = spay_pad.ndim == 4      # (B, T+1, 10, Ks) per-env payload
+    T1, Ks = spay_pad.shape[-3], spay_pad.shape[-1]
     B, TT = ids.shape
     Kd = dpay.shape[-1]
     P = ts * ts
     kern = functools.partial(
         _fwd_kernel, ts=ts, tx=tx, ncs=Ks // CHUNK, ndc=Kd // CHUNK,
         power_min=power_min, term_eps=term_eps, exact=exact,
-        save_state=save_state)
+        save_state=save_state, per_env=per_env)
     out_specs = pl.BlockSpec(
         (None, None, 8, P), lambda b, i, ids, cs, cd: (b, ids[b, i], 0, 0))
     out_shape = jax.ShapeDtypeStruct((B, T1, 8, P), spay_pad.dtype)
@@ -311,12 +363,17 @@ def _call_fwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ts, tx,
             (None, None, P, Kd), lambda b, i, ids, cs, cd: (b, i, 0, 0))]
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((B, TT, P, Kd), spay_pad.dtype)]
+    spay_spec = (
+        pl.BlockSpec((None, None, 10, Ks),
+                     lambda b, i, ids, cs, cd: (b, ids[b, i], 0, 0))
+        if per_env else
+        pl.BlockSpec((None, 10, Ks),
+                     lambda b, i, ids, cs, cd: (ids[b, i], 0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, TT),
         in_specs=[
-            pl.BlockSpec((None, 10, Ks),
-                         lambda b, i, ids, cs, cd: (ids[b, i], 0, 0)),
+            spay_spec,
             pl.BlockSpec((None, None, 10, Kd),
                          lambda b, i, ids, cs, cd: (b, i, 0, 0)),
         ],
@@ -340,7 +397,8 @@ def _call_fwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ts, tx,
 def _call_bwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ct, fwd_out,
               ltsd, ts, tx, power_min, interpret, term_eps, exact_fwd,
               exact_bwd):
-    T1, _, Ks = spay_pad.shape
+    per_env = spay_pad.ndim == 4
+    T1, Ks = spay_pad.shape[-3], spay_pad.shape[-1]
     B, TT = ids.shape
     Kd = dpay.shape[-1]
     P = ts * ts
@@ -348,13 +406,18 @@ def _call_bwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ct, fwd_out,
     kern = functools.partial(
         _bwd_kernel, ts=ts, tx=tx, ncs=ncs, ndc=Kd // CHUNK,
         power_min=power_min, term_eps=term_eps, exact_fwd=exact_fwd,
-        exact_bwd=exact_bwd)
+        exact_bwd=exact_bwd, per_env=per_env)
+    spay_spec = (
+        pl.BlockSpec((None, None, 10, Ks),
+                     lambda b, i, ids, cs, cd: (b, ids[b, i], 0, 0))
+        if per_env else
+        pl.BlockSpec((None, 10, Ks),
+                     lambda b, i, ids, cs, cd: (ids[b, i], 0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, TT),
         in_specs=[
-            pl.BlockSpec((None, 10, Ks),
-                         lambda b, i, ids, cs, cd: (ids[b, i], 0, 0)),
+            spay_spec,
             pl.BlockSpec((None, None, 10, Kd),
                          lambda b, i, ids, cs, cd: (b, i, 0, 0)),
             pl.BlockSpec((None, None, 8, P),
@@ -417,11 +480,16 @@ def composite_pair_sel(spay_pad, dpay, ids, counts_s_pad, counts_d,
 
     Args:
       spay_pad: (T+1, 10, Ks) static per-tile payload with a zero trash row
-        at index T (``_pack_payload`` layout, Ks % 128 == 0).
+        at index T (``_pack_payload`` layout, Ks % 128 == 0).  A 4-D
+        (B, T+1, 10, Ks) payload selects PER-ENV static lists (the
+        moving-camera candidate path, ops/rasterize_moving.py); in that
+        mode ``ids`` MUST be the dense table ids[b] = arange(T) with
+        TT == T (the backward maps slot cotangents to tiles by position).
       dpay: (B, TT, 10, Kd) compacted per-env dynamic lists (Kd % 128 == 0).
       ids: (B, TT) int32 tile ids; pad slots carry T.  Pad slots MUST come
         after all real slots (selection sorts by descending count).
-      counts_s_pad: (T+1,) int32 active static entries (0 at the trash row).
+      counts_s_pad: (T+1,) int32 active static entries (0 at the trash
+        row); (B, T+1) per env when ``spay_pad`` is per-env.
       counts_d: (B, TT) int32 active dynamic entries (0 at pad slots).
 
     Returns (B, T+1, 8, P) channel-major per-pixel [rgb, depth_acc, trans,
@@ -457,7 +525,13 @@ def _sel_bwd(ts, tx, sigma_cutoff, interpret, term_eps, exact_fwd,
     gs_sel, gd = _call_bwd(spay_pad, dpay, ids, counts_s_pad, counts_d,
                            ct, out, ltsd, ts, tx, pmin, interpret, term_eps,
                            exact_fwd, exact_bwd)
-    gs_pad = _scatter_rows(gs_sel, ids, spay_pad.shape[0])
+    if spay_pad.ndim == 4:
+        # per-env static payload: the dense-ids contract (ids[b] = arange)
+        # makes slot i's cotangent exactly tile i's — pad the trash row
+        gs_pad = jnp.concatenate(
+            [gs_sel, jnp.zeros_like(gs_sel[:, :1])], axis=1)
+    else:
+        gs_pad = _scatter_rows(gs_sel, ids, spay_pad.shape[0])
     zero = lambda a: _np.zeros(a.shape, jax.dtypes.float0)
     return gs_pad, gd, zero(ids), zero(counts_s_pad), zero(counts_d)
 

@@ -137,10 +137,17 @@ def project(
     return Projected(xy=xy, depth=z, conic=conic, radius=radius, valid=valid)
 
 
-def _finish_projection(p_cam, m0, m1, m2, camera, near, eps2d) -> Projected:
+def _finish_projection(p_cam, m0, m1, m2, camera, near, eps2d,
+                       dilate: float = 0.0) -> Projected:
     """Shared tail of :func:`project` / :func:`project_raw`: perspective
     Jacobian, 2D conic, radius, culling — from camera-frame means ``p_cam``
-    and the rows ``m0/m1/m2`` (N, 3) of M = R_cam·S (so Σ_cam = M Mᵀ)."""
+    and the rows ``m0/m1/m2`` (N, 3) of M = R_cam·S (so Σ_cam = M Mᵀ).
+
+    ``dilate`` (pixels) pads the 3σ radius AND the image-bounds cull — the
+    conservative-superset projection behind the moving-camera candidate
+    cache (ops/rasterize_moving.py): binning with a dilated footprint keeps
+    every gaussian that can touch a tile while the camera moves less than
+    ``dilate`` pixels of screen-space shift."""
     x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
     zc = jnp.maximum(z, near)
     u = camera.fx * x / zc + camera.cx
@@ -169,7 +176,7 @@ def _finish_projection(p_cam, m0, m1, m2, camera, near, eps2d) -> Projected:
 
     mid = 0.5 * (a + c)
     lam = mid + jnp.sqrt(jnp.maximum(mid * mid - det_safe, 0.01))
-    radius = jnp.ceil(3.0 * jnp.sqrt(lam))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam)) + dilate
 
     valid = (z > near) & (det > 0.0)
     inside = (
@@ -204,6 +211,7 @@ def project_raw(
     camera: Camera,
     near: float = 0.01,
     eps2d: float = BLUR_2D,
+    dilate: float = 0.0,
 ) -> Projected:
     """EWA projection straight from raw gaussian parameters.
 
@@ -224,7 +232,7 @@ def project_raw(
     r0, r1, r2 = _rotation_rows(q_cam)
     s = jnp.exp(log_scales)                                 # (N, 3)
     return _finish_projection(p_cam, r0 * s, r1 * s, r2 * s,
-                              camera, near, eps2d)
+                              camera, near, eps2d, dilate)
 
 
 def view_directions(means: jnp.ndarray, camera: Camera) -> jnp.ndarray:

@@ -58,6 +58,14 @@ class TrainConfig:
     cull_scale_thresh: float = 0.5
     n_split_samples: int = 2
     l1_weight: float = 1.0              # L1 + (1-w)·L2 photometric mix
+    # splatfacto loss: (1−λ)·photometric + λ·(1−SSIM), λ = ssim_lambda
+    # (reference scene config assets/divar113vhw/.../config.yml:207)
+    ssim_lambda: float = 0.2
+    # splatfacto opacity-reset cadence: every `reset_alpha_every`
+    # refinement rounds, cap opacities at 2·cull_alpha_thresh so
+    # transparent gaussians re-earn their opacity (config.yml:174-191);
+    # 0 ⇒ off
+    reset_alpha_every: int = 0
     background: tuple = (0.0, 0.0, 0.0)
 
 
@@ -93,8 +101,13 @@ def make_train_step(config: TrainConfig, raster: RasterConfig,
             scene.opacities(), camera, scene.sh_degree, raster,
             background=bg)
         err = img - image
-        return (config.l1_weight * jnp.mean(jnp.abs(err))
-                + (1.0 - config.l1_weight) * jnp.mean(err ** 2))
+        photometric = (config.l1_weight * jnp.mean(jnp.abs(err))
+                       + (1.0 - config.l1_weight) * jnp.mean(err ** 2))
+        if config.ssim_lambda <= 0.0:
+            return photometric
+        from sim_a_splat_tpu.ops.ssim import ssim_loss
+        return ((1.0 - config.ssim_lambda) * photometric
+                + config.ssim_lambda * ssim_loss(img, image))
 
     @jax.jit
     def step(scene, opt_state, camera, image):
@@ -160,6 +173,7 @@ def train(
     history = {"loss": [], "n_gaussians": []}
     grad_acc = np.zeros(scene.num_gaussians, np.float32)
     n_acc = 0
+    n_refines = 0
     for it in range(config.iters):
         v = it % len(cameras)
         scene, opt_state, loss, gnorm = step(scene, opt_state, cameras[v],
@@ -177,6 +191,15 @@ def train(
                 and (it + 1) % config.refine_every == 0
                 and it + 1 < config.iters):
             scene = refine_scene(scene, grad_acc / max(n_acc, 1), config)
+            n_refines += 1
+            if (config.reset_alpha_every
+                    and n_refines % config.reset_alpha_every == 0):
+                # splatfacto opacity reset: cap at 2·cull_alpha_thresh
+                # (logit space) so every gaussian re-earns its opacity
+                cap = float(np.log(2 * config.cull_alpha_thresh
+                                   / (1 - 2 * config.cull_alpha_thresh)))
+                scene = scene._replace(logit_opacities=jnp.minimum(
+                    scene.logit_opacities, cap))
             optimizer = make_optimizer(config, scene)
             opt_state = optimizer.init(scene)
             step = make_train_step(config, raster, optimizer)

@@ -1,0 +1,178 @@
+"""Moving-camera candidate cache ≡ full per-frame rebin.
+
+The frame-coherent moving path (ops/rasterize_moving.py) must reproduce
+the full-rebin render — same projection math, same SH, same compositing —
+whenever the camera stays within the cache's margin budget and nothing is
+capacity-truncated.  This is the exactness contract that lets the env
+wrapper swap the expensive per-frame rebin (the reference's EEF-camera
+loop, splat_env_wrapper.py:140-159) for the cached path.
+
+Runs in pallas interpret mode on CPU (tests/conftest.py forces the cpu
+platform); it also exercises the per-env-static mode and the dyn-free
+chunk specialization of the selected-tile kernel, which the fixed-camera
+sel path never reaches.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sim_a_splat_tpu.ops import sh as sh_ops
+from sim_a_splat_tpu.ops.projection import Camera, Projected, project_raw, view_directions
+from sim_a_splat_tpu.ops.rasterize_moving import (
+    MovingCache, build_moving_cache, camera_shift_bound, dilated_build_config,
+    render_moving_batch,
+)
+from sim_a_splat_tpu.ops.rasterize_tiles import RasterConfig, render_binned
+from sim_a_splat_tpu.ops.transforms import SE3
+from sim_a_splat_tpu.splat import synthetic_scene
+
+CFG = RasterConfig(tile_size=16, tile_capacity=256,
+                   max_tiles_per_gaussian=9, chunk=128, sigma_cutoff=3.0,
+                   backend="pallas_interpret")
+MARGIN = 4.0
+
+
+def setup(sh_degree=1, n_static=180, n_dyn=40):
+    static = synthetic_scene(n_static, seed=0, extent=0.8,
+                             scale_range=(0.02, 0.06), sh_degree=sh_degree)
+    dyn = synthetic_scene(n_dyn, seed=1, extent=0.3,
+                          scale_range=(0.02, 0.05), sh_degree=sh_degree)
+    cam = Camera.from_fov(
+        SE3(jnp.asarray([1.0, 0, 0, 0]), jnp.asarray([0.0, 0.0, -3.0])),
+        0.8, 48, 32)
+    return static, dyn, cam
+
+
+def cam_at(t, q=(1.0, 0.0, 0.0, 0.0)):
+    return Camera.from_fov(SE3(jnp.asarray(q, jnp.float32),
+                               jnp.asarray(t, jnp.float32)), 0.8, 48, 32)
+
+
+def build(static, cam, cfg=CFG, margin=MARGIN, kc=256):
+    sh_flat = static.sh_coeffs().reshape(static.means.shape[0], -1)
+    return build_moving_cache(
+        static.means, static.quats, static.log_scales, sh_flat,
+        static.opacities(), cam, dilated_build_config(cfg, margin),
+        kc=kc, margin=margin)
+
+
+def rebin_reference(static, dyn, cam, sh_degree, cfg=CFG):
+    """The moving path of the env wrapper: full per-frame rebin."""
+    ps = project_raw(static.means, static.quats, static.log_scales, cam)
+    pd = project_raw(dyn.means, dyn.quats, dyn.log_scales, cam)
+    proj = Projected(*[jnp.concatenate([a, b]) for a, b in zip(ps, pd)])
+    means_all = jnp.concatenate([static.means, dyn.means])
+    dirs = view_directions(means_all, cam)
+    sh_all = jnp.concatenate([static.sh_coeffs(), dyn.sh_coeffs()])
+    colors = sh_ops.eval_sh_color(sh_all, dirs, sh_degree)
+    opac = jnp.concatenate([static.opacities(), dyn.opacities()])
+    img, aux = render_binned(proj, colors, opac, cam, cfg)
+    return img, aux
+
+
+def moving_render(static, dyn, cams, cache, sh_degree, cfg=CFG):
+    """B-batched moving render with shared dyn (B copies)."""
+    B = cams.pose.t.shape[0]
+    rep = lambda a: jnp.broadcast_to(a, (B,) + a.shape)
+    caches = jax.tree.map(rep, cache)
+
+    def cols_one(cam):
+        dirs = view_directions(dyn.means, cam)
+        return sh_ops.eval_sh_color(dyn.sh_coeffs(), dirs, sh_degree)
+
+    d_cols = jax.vmap(cols_one)(cams)
+    return render_moving_batch(
+        caches, cams, rep(dyn.means), rep(dyn.quats), rep(dyn.log_scales),
+        d_cols, rep(dyn.opacities()), cfg, sh_degree,
+        dyn_capacity=128, dyn_max_tiles=9)
+
+
+def batch_cams(*ts):
+    return jax.vmap(lambda t: cam_at(t))(jnp.asarray(ts, jnp.float32))
+
+
+@pytest.mark.parametrize("sh_degree", [0, 3])
+@pytest.mark.parametrize("term_eps", [None, 1e-4])
+def test_moving_matches_rebin(sh_degree, term_eps):
+    """Same camera AND a small in-margin camera shift must both match the
+    full rebin bit-closely (no truncation anywhere by construction)."""
+    static, dyn, cam = setup(sh_degree=sh_degree)
+    cfg = CFG._replace(term_eps=term_eps)
+    cache = build(static, cam, cfg)
+    assert int(cache.n_build_truncated) == 0
+
+    shifted = [0.0, 0.0, -3.0], [0.03, -0.02, -3.01]
+    cams = batch_cams(*shifted)
+    for b in range(2):
+        cb = cam_at(shifted[b])
+        assert float(camera_shift_bound(cache, cb)) <= MARGIN
+
+    imgs, aux = jax.jit(
+        lambda cams: moving_render(static, dyn, cams, cache, sh_degree,
+                                   cfg))(cams)
+    assert int(aux.n_overflowed_tiles) == 0
+    for b in range(2):
+        ref, aux_ref = jax.jit(
+            lambda: rebin_reference(static, dyn, cam_at(shifted[b]),
+                                    sh_degree, cfg))()
+        assert int(aux_ref.n_overflowed_tiles) == 0
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(imgs[b]), 0, -1), np.asarray(ref),
+            atol=2e-5, rtol=1e-4)
+
+
+def test_shift_bound_flags_large_motion():
+    static, _, cam = setup(sh_degree=0)
+    cache = build(static, cam)
+    # millimeter-scale translation: well inside the margin
+    assert float(camera_shift_bound(cache, cam_at([0.002, 0, -3.0]))) < 1.0
+    # a large jump must exceed the budget
+    assert float(camera_shift_bound(cache, cam_at([0.8, 0, -3.0]))) > MARGIN
+    # pure rotation consumes margin too
+    q = jnp.asarray([np.cos(0.1), 0.0, np.sin(0.1), 0.0], jnp.float32)
+    assert float(camera_shift_bound(
+        cache, cam_at([0.0, 0, -3.0], q=tuple(np.asarray(q))))) > MARGIN
+
+
+def test_dilated_build_config_budgets():
+    cfg = CFG._replace(buckets=((4, 0.9), (9, 0.1)))
+    d = dilated_build_config(cfg, 16.0)
+    # 2·16 px dilation at ts=16 adds ⌈32/16⌉+1 = 3 tiles per axis
+    assert d.buckets == ((25, 0.9), (36, 0.1))
+    assert d.max_tiles_per_gaussian == 36
+    d0 = dilated_build_config(CFG, 8.0)        # no buckets: 3×3 → 5×5
+    assert d0.max_tiles_per_gaussian == 25
+
+
+def test_moving_gradients_match_rebin():
+    """Scene-parameter gradients through build+reproject must match the
+    rebin path's (the cache is built inside the differentiated region)."""
+    sh_degree = 0
+    static, dyn, cam0 = setup(sh_degree=sh_degree, n_static=120, n_dyn=25)
+    cfg = CFG._replace(term_eps=1e-4)
+    new_cam = cam_at([0.02, 0.01, -3.0])
+
+    def loss_moving(sm, sc):
+        st = static._replace(means=sm, sh_dc=sc)
+        cache = build(st, cam0, cfg)
+        cams = batch_cams([0.02, 0.01, -3.0])
+        imgs, _ = moving_render(st, dyn, cams, cache, sh_degree, cfg)
+        w = jnp.linspace(0.5, 1.5, imgs.shape[2])[None, None, :, None]
+        return jnp.sum(w * imgs ** 2)
+
+    def loss_rebin(sm, sc):
+        st = static._replace(means=sm, sh_dc=sc)
+        img, _ = rebin_reference(st, dyn, new_cam, sh_degree, cfg)
+        w = jnp.linspace(0.5, 1.5, img.shape[0])[:, None, None]
+        return jnp.sum(w * img ** 2)
+
+    gm = jax.jit(jax.grad(loss_moving, argnums=(0, 1)))(
+        static.means, static.sh_dc)
+    gr = jax.jit(jax.grad(loss_rebin, argnums=(0, 1)))(
+        static.means, static.sh_dc)
+    for a, b in zip(gm, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-8
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3 * scale, rtol=2e-2)
