@@ -42,7 +42,7 @@ def main():
     from sim_a_splat_tpu.ops import sh as sh_ops
     from sim_a_splat_tpu.ops.projection import view_directions
     from sim_a_splat_tpu.ops.rasterize_moving import (
-        build_moving_cache, camera_shift_bound, dilated_build_config,
+        build_moving_cache, camera_budget_used, dilated_build_config,
         render_moving_batch, reproject_candidates,
     )
     from sim_a_splat_tpu.ops.rasterize_tiles import RasterConfig
@@ -138,7 +138,7 @@ def main():
     def build_fb(st_means, states):
         def loss(m):
             c = build_fn(m, states)
-            return jnp.mean(c.raw ** 2)
+            return jnp.mean(c.mean ** 2) + jnp.mean(c.sh ** 2)
         return jax.value_and_grad(loss)(st_means)
 
     bench("build_cache_fb", build_fb, st.means, states)
@@ -154,12 +154,14 @@ def main():
     bench("reproject+sort_f", reproject_fn, caches, cams)
 
     def reproject_fb(caches, cams):
-        def loss(raw):
-            spay, _ = reproject_fn(caches._replace(raw=raw), cams)
+        def loss(mean, sh):
+            spay, _ = reproject_fn(
+                caches._replace(mean=mean, sh=sh), cams)
             return jnp.mean(spay ** 2)
-        return jax.value_and_grad(loss)(caches.raw)
+        return jax.value_and_grad(loss, argnums=(0, 1))(caches.mean,
+                                                        caches.sh)
 
-    bench("reproject+sort_fb", reproject_fb, caches)
+    bench("reproject+sort_fb", reproject_fb, caches, cams)
 
     def pose2d(xy, angle):
         return (quat.from_axis_angle(jnp.asarray([0.0, 0, 1.0]), angle),
@@ -192,17 +194,20 @@ def main():
             caches, cams, d_means, d_quats, d_ls, d_cols, d_op, raster, 3,
             dyn_capacity=128, dyn_max_tiles=9)
         viol = jnp.sum(jax.vmap(
-            lambda c, cm: camera_shift_bound(c, cm))(caches, cams) > MARGIN)
+            lambda c, cm: camera_budget_used(c, cm))(caches, cams) > 1.0)
         return ns, imgs, viol
 
     ns, imgs, viol = bench("frame_f", frame_fn, caches, states, actions)
     log(f"  margin violations first frame: {int(viol)}")
 
     def frame_fb(caches, states, actions):
-        def loss(raw):
-            ns, imgs, _ = frame_fn(caches._replace(raw=raw), states, actions)
+        def loss(mean, sh):
+            ns, imgs, _ = frame_fn(caches._replace(mean=mean, sh=sh),
+                                   states, actions)
             return jnp.mean(imgs ** 2), ns
-        (l, ns), g = jax.value_and_grad(loss, has_aux=True)(caches.raw)
+        (l, ns), g = jax.value_and_grad(loss, has_aux=True,
+                                        argnums=(0, 1))(caches.mean,
+                                                        caches.sh)
         return ns, l, g
 
     bench("frame_fb", frame_fb, caches, states, actions)

@@ -368,11 +368,48 @@ class SplatEnvWrapperF:
              else link.t + off_t)
         return SE3(quat.multiply(link.q, off_q), t)
 
+    def build_moving_caches(self, draws: DrawState,
+                            scene: GaussianScene | None = None,
+                            margin: float = 16.0, kc: int = 1024) -> dict:
+        """Per-env candidate tile caches for every MOVING camera
+        (ops/rasterize_moving.py) from the current draw state — the
+        frame-coherent fast path for the reference's EEF-mounted camera
+        (splat_handler.py:316-332).  Build once per rollout chunk; valid
+        while each env's camera stays within ``margin`` px of screen-space
+        shift (checked per frame via ``camera_budget_used`` and surfaced
+        as the severe class in ``info['render_overflow']``).
+        Differentiable into ``scene``."""
+        from sim_a_splat_tpu.ops.rasterize_moving import (
+            build_moving_cache, dilated_build_config,
+        )
+
+        scene = self.graph.scene if scene is None else scene
+        stat_idx, _, _ = self._split_indices()
+        st = scene.select(stat_idx)
+        sh_flat = st.sh_coeffs().reshape(st.means.shape[0], -1)
+        bcfg = dilated_build_config(self.raster, margin)
+        out = {}
+        for key, spec in self.cameras:
+            if spec.type != "moving":
+                continue
+            h, w = spec.render_size
+
+            def build_one(draw, spec=spec, h=h, w=w):
+                cam = Camera.from_fov(self._moving_pose(spec, draw),
+                                      spec.fov, int(w), int(h))
+                return build_moving_cache(
+                    st.means, st.quats, st.log_scales, sh_flat,
+                    st.opacities(), cam, bcfg, kc=kc, margin=margin)
+
+            out[key] = jax.vmap(build_one)(draws)
+        return out
+
     def render_with_cache_batch(self, env_states, caches: dict,
                                 draws: DrawState | None = None,
                                 dyn_capacity: int = 128,
                                 sel_tiles: int = 96,
-                                dyn_max_tiles: int = 9):
+                                dyn_max_tiles: int = 9,
+                                moving_caches: dict | None = None):
         """Batched ``render_with_cache``: one call renders ALL envs.
 
         Fixed cameras composite every env's dynamic-touched tiles in ONE
@@ -397,8 +434,14 @@ class SplatEnvWrapperF:
         camera in ``camera_{i}`` order (CHW throughout — the obs contract
         is CHW and channel-major avoids lane-padded layouts on TPU), and a
         dict with ``dropped_tiles`` (severe: dynamics vanished from
-        unselected tiles — keep 0 via sel_tiles) / ``truncated`` (bounded:
-        nearest-K capacity cut + bbox clipping, error ~term_eps) totals.
+        unselected tiles OR a moving camera exceeded its candidate-cache
+        margin — keep 0) / ``truncated`` (bounded: nearest-K capacity cut
+        + bbox clipping, error ~term_eps) totals.
+
+        ``moving_caches`` (from :meth:`build_moving_caches`) switches each
+        covered moving camera from the per-env full rebin to the
+        frame-coherent candidate path (ops/rasterize_moving.py) — the
+        round-5 fast path for the reference's EEF camera loop.
         """
         from sim_a_splat_tpu.ops.pallas_composite import CHUNK as _CHUNK
         from sim_a_splat_tpu.ops.projection import (
@@ -481,6 +524,39 @@ class SplatEnvWrapperF:
                     # pair path drops nothing outright: capacity cuts and
                     # bbox clipping are the bounded class
                     truncated = truncated + jnp.sum(n_o) + jnp.sum(n_t)
+            elif (spec.type == "moving" and moving_caches is not None
+                  and key in moving_caches):
+                from sim_a_splat_tpu.ops.rasterize_moving import (
+                    camera_budget_used, render_moving_batch,
+                )
+                mc = moving_caches[key]
+                cams = jax.vmap(
+                    lambda draw: Camera.from_fov(
+                        self._moving_pose(spec, draw), spec.fov,
+                        int(w), int(h)))(draws)
+
+                def cols_mv(m, cam):
+                    if scene.sh_rest is None:
+                        return jnp.broadcast_to(dyn.colors_dc(),
+                                                m.shape[:1] + (3,))
+                    dirs = view_directions(m, cam)
+                    return sh_ops.eval_sh_color_split(
+                        dyn.sh_dc, dyn.sh_rest, dirs, scene.sh_degree)
+
+                d_cols_mv = jax.vmap(cols_mv)(d_means, cams)
+                img_b, aux = render_moving_batch(
+                    mc, cams, d_means, d_quats, d_ls, d_cols_mv, d_op,
+                    self.raster, scene.sh_degree,
+                    dyn_capacity=dyn_capacity,
+                    dyn_max_tiles=dyn_max_tiles, background=bg)
+                # severe: a camera outside its margin budget means the
+                # candidate lists may no longer cover its tiles
+                overflow = overflow + jnp.sum(
+                    jax.vmap(camera_budget_used)(mc, cams)
+                    > 1.0).astype(jnp.int32)
+                truncated = (truncated + aux.n_overflowed_tiles
+                             + aux.n_slot_truncated
+                             + jnp.sum(mc.n_build_truncated))
             else:
                 def mv_one(draw, dm, dq):
                     pose = (self._moving_pose(spec, draw)
@@ -514,7 +590,9 @@ class SplatEnvWrapperF:
                               noobs: bool = False,
                               dyn_capacity: int = 128,
                               sel_tiles: int = 96,
-                              dyn_max_tiles: int = 9) -> SplatTransition:
+                              dyn_max_tiles: int = 9,
+                              moving_caches: dict | None = None
+                              ) -> SplatTransition:
         """Batched ``step_with_cache``: vmapped inner env step + ONE batched
         selected-tile render per fixed camera (the production train loop —
         build ``caches`` once per train step, shared across the batch).
@@ -535,7 +613,8 @@ class SplatEnvWrapperF:
                                    truncated=tr.truncated, info=tr.info)
         imgs, aux = self.render_with_cache_batch(
             tr.state, caches, dyn_capacity=dyn_capacity,
-            sel_tiles=sel_tiles, dyn_max_tiles=dyn_max_tiles)
+            sel_tiles=sel_tiles, dyn_max_tiles=dyn_max_tiles,
+            moving_caches=moving_caches)
         obs = dict(tr.obs)
         for i, img in enumerate(imgs):
             obs[f"camera_{i}"] = img                         # already CHW
@@ -551,6 +630,53 @@ class SplatEnvWrapperF:
         return SplatTransition(state=tr.state, obs=obs, reward=tr.reward,
                                terminated=tr.terminated,
                                truncated=tr.truncated, info=info)
+
+    def rollout_with_cache_batch(self, states, actions_seq, caches: dict,
+                                 dyn_capacity: int = 128,
+                                 sel_tiles: int = 96,
+                                 dyn_max_tiles: int = 9,
+                                 moving_margin: float = 16.0,
+                                 moving_kc: int = 1024) -> SplatTransition:
+        """R-step batched rollout with frame-coherent moving cameras.
+
+        ``actions_seq`` is (R, B, act_dim).  Fixed cameras render through
+        the shared static caches as in :meth:`step_with_cache_batch`;
+        moving cameras build per-env candidate caches ONCE from the
+        initial draw state and reproject them per frame
+        (ops/rasterize_moving.py) — the per-frame binning sort and payload
+        gather the full rebin pays (the dominant stages, PROFILE.md round
+        5) amortize over the chunk.  The whole rollout runs inside one
+        trace (``lax.scan``, per-step remat) so scene gradients flow
+        through every frame AND the cache builds.
+
+        Returns a :class:`SplatTransition` whose obs/reward/info carry a
+        leading (R, B) time axis and whose ``state`` is the final state.
+        ``info['render_overflow']`` (severe) includes margin-violated
+        env-frames — 0 ⇒ every rendered frame is exact up to the bounded
+        truncation class.
+        """
+        base = self._base_env()
+        draws0 = jax.vmap(base.draw_state)(states)
+        mcaches = self.build_moving_caches(draws0, margin=moving_margin,
+                                           kc=moving_kc)
+
+        @jax.checkpoint
+        def step_fn(carry_states, actions):
+            tr = self.step_with_cache_batch(
+                carry_states, actions, caches,
+                dyn_capacity=dyn_capacity, sel_tiles=sel_tiles,
+                dyn_max_tiles=dyn_max_tiles,
+                moving_caches=mcaches or None)
+            return tr.state, SplatTransition(
+                state=None, obs=tr.obs, reward=tr.reward,
+                terminated=tr.terminated, truncated=tr.truncated,
+                info=tr.info)
+
+        final_state, seq = jax.lax.scan(step_fn, states, actions_seq)
+        return SplatTransition(state=final_state, obs=seq.obs,
+                               reward=seq.reward,
+                               terminated=seq.terminated,
+                               truncated=seq.truncated, info=seq.info)
 
     def observe_with_cache(self, env_state, inner_obs: dict,
                            caches: dict) -> dict:

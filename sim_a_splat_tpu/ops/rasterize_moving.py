@@ -61,13 +61,6 @@ from sim_a_splat_tpu.ops.rasterize_tiles import (
     RasterAux, RasterConfig, _bin_gaussians, gather_tile_lists, untile_image,
 )
 
-# candidate payload row layout (build-time raw parameters, field-major)
-_RM_MEAN = 0          # rows 0:3   world mean xyz
-_RM_QUAT = 3          # rows 3:7   wxyz quaternion
-_RM_LS = 7            # rows 7:10  log scales
-_RM_OP = 10           # row  10    opacity (clipped [0, 1], 0 ⇒ inactive)
-_RM_SH = 11           # rows 11:11+3K  SH coefficients, k-major [k·3 + c]
-
 _SH_C0 = 0.28209479177387814
 _SH_C1 = 0.4886025119029199
 _SH_C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
@@ -78,20 +71,41 @@ _SH_C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
 
 
 class MovingCache(NamedTuple):
-    """Per-(env, camera-chunk) candidate lists of raw gaussian parameters."""
+    """Per-(env, camera-chunk) candidate lists of raw gaussian parameters.
 
-    raw: jnp.ndarray        # (T, R, Kc) candidate payload (rows above)
+    Channel-major per-field arrays (field axis BEFORE the Kc lane axis):
+    one packed (T, R, Kc) payload was measured to OOM the backward —
+    every per-row slice's VJP pads back into the full array and XLA
+    materialized several such 1.8 GB temps; per-field storage keeps each
+    pad at field size, and the SH term contracts via one einsum (one-op
+    VJP, no pads at all).
+    """
+
+    mean: jnp.ndarray       # (T, 3, Kc) world means
+    quat: jnp.ndarray       # (T, 4, Kc) wxyz
+    log_scales: jnp.ndarray  # (T, 3, Kc)
+    opacity: jnp.ndarray    # (T, Kc) clipped [0, 1], 0 ⇒ inactive
+    sh: jnp.ndarray         # (T, K, 3, Kc) SH coefficients
     counts: jnp.ndarray     # (T,) int32 candidates per tile (build time)
     base_q: jnp.ndarray     # (4,) build camera pose
     base_t: jnp.ndarray     # (3,)
-    z_min: jnp.ndarray      # () min valid candidate depth at build
-    r_max: jnp.ndarray      # () max undilated screen radius at build
+    # margin-budget statistics over COUNTED gaussians — everything in
+    # front of the near plane except full-grid-cover ones (a gaussian
+    # whose dilated bbox covers the whole grid is in every tile's list,
+    # so no camera motion can change its membership; near-camera
+    # gaussians with 10³-px radii fall in this class, which keeps the
+    # budget finite without weakening it).  Each counted gaussian i has a
+    # footprint-edge sensitivity P_i = (f + g_i + 2r_i)/z_i px per world
+    # unit of camera-frame displacement and an allowance a_i = margin +
+    # (entry gap for out-of-view gaussians); the build reduces the
+    # per-gaussian inequalities to two scalars (camera_budget_used).
+    s_trans: jnp.ndarray    # () max_i P_i / a_i
+    s_rot: jnp.ndarray      # () max_i P_i·‖c_i‖ / a_i
+    z_min: jnp.ndarray      # () min counted depth (translation correction)
+    near_gap: jnp.ndarray   # () camera retreat that could surface a
+                            #    behind-near-plane gaussian (+inf if none)
     margin: jnp.ndarray     # () px margin the binning was dilated by
     n_build_truncated: jnp.ndarray  # () tiles cut at kc + slot truncations
-
-
-def num_sh_rows(sh_degree: int) -> int:
-    return 11 + 3 * (sh_degree + 1) ** 2
 
 
 def build_moving_cache(
@@ -121,6 +135,8 @@ def build_moving_cache(
     (_, sorted_gidx, starts, counts, n_slot_trunc) = _bin_gaussians(
         proj, build_config, tx, ty)
 
+    n = means.shape[0]
+    K = sh_flat.reshape(n, -1).shape[1] // 3
     k = jnp.arange(kc, dtype=jnp.int32)
     sel = jnp.clip(starts[:, None] + k[None, :], 0, sorted_gidx.shape[0] - 1)
     g = sorted_gidx[sel]                                     # (T, Kc)
@@ -129,24 +145,103 @@ def build_moving_cache(
         quats,                                               # 3:7
         log_scales,                                          # 7:10
         jnp.clip(opacities, 0.0, 1.0)[:, None],              # 10
-        sh_flat.reshape(means.shape[0], -1),                 # 11:
+        sh_flat.reshape(n, -1),                              # 11:
     ], axis=1)
     lists = payload[g]                                       # (T, Kc, R)
     entry_valid = k[None, :] < jnp.minimum(counts, kc)[:, None]
-    lists = lists.at[..., _RM_OP].set(
-        jnp.where(entry_valid, lists[..., _RM_OP], 0.0))
     raw = jnp.swapaxes(lists, 1, 2)                          # (T, R, Kc)
 
-    z_min = jnp.min(jnp.where(proj.valid, proj.depth, jnp.inf))
-    r_max = jnp.maximum(
-        jnp.max(jnp.where(proj.valid, proj.radius, 0.0)) - margin, 0.0)
+    s_trans, s_rot, z_min, near_gap = _margin_stats(
+        means, quats, log_scales, camera, margin, ts, tx, ty)
     return MovingCache(
-        raw=raw, counts=jnp.minimum(counts, kc).astype(jnp.int32),
+        mean=raw[:, 0:3], quat=raw[:, 3:7], log_scales=raw[:, 7:10],
+        opacity=jnp.where(entry_valid, raw[:, 10], 0.0),
+        sh=raw[:, 11:].reshape(raw.shape[0], K, 3, kc),
+        counts=jnp.minimum(counts, kc).astype(jnp.int32),
         base_q=camera.pose.q, base_t=camera.pose.t,
-        z_min=z_min, r_max=r_max,
+        s_trans=s_trans, s_rot=s_rot, z_min=z_min, near_gap=near_gap,
         margin=jnp.asarray(margin, jnp.float32),
         n_build_truncated=(jnp.sum(counts > kc) + n_slot_trunc).astype(
             jnp.int32))
+
+
+def _depth_radius(means, quats, log_scales, camera, near=0.01,
+                  eps2d=BLUR_2D):
+    """(z, r, det) for ALL gaussians — project_raw's depth/radius math
+    without the culling zeros (the margin statistics need radii of
+    out-of-view gaussians too: they can enter the view)."""
+    from sim_a_splat_tpu.ops import quaternion as quat_ops
+    from sim_a_splat_tpu.ops.projection import _rotation_rows
+
+    w2c = camera.pose.inverse()
+    R = w2c.rotation_matrix()
+    p_cam = means @ R.T + w2c.t
+    x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
+    zc = jnp.maximum(z, near)
+    q_cam = quat_ops.multiply(w2c.q, quats)
+    r0, r1, r2 = _rotation_rows(q_cam)
+    s = jnp.exp(log_scales)
+    m0, m1, m2 = r0 * s, r1 * s, r2 * s
+    inv_z = 1.0 / zc
+    inv_z2 = inv_z * inv_z
+    j00 = camera.fx * inv_z
+    j02 = -camera.fx * x * inv_z2
+    j11 = camera.fy * inv_z
+    j12 = -camera.fy * y * inv_z2
+    a0 = j00[..., None] * m0 + j02[..., None] * m2
+    a1 = j11[..., None] * m1 + j12[..., None] * m2
+    a = jnp.sum(a0 * a0, axis=-1) + eps2d
+    b = jnp.sum(a0 * a1, axis=-1)
+    c = jnp.sum(a1 * a1, axis=-1)
+    det = a * c - b * b
+    mid = 0.5 * (a + c)
+    lam = mid + jnp.sqrt(jnp.maximum(mid * mid - jnp.maximum(det, 1e-12),
+                                     0.01))
+    u = camera.fx * x / zc + camera.cx
+    v = camera.fy * y / zc + camera.cy
+    return z, jnp.ceil(3.0 * jnp.sqrt(lam)), det, u, v
+
+
+def _margin_stats(means, quats, log_scales, camera, margin, ts, tx, ty,
+                  near=0.01):
+    """(s_trans, s_rot, z_min, near_gap) over counted gaussians (see
+    MovingCache docstring).
+
+    Per counted gaussian i: sensitivity P_i = (f + g_i + 2r_i)/z_i with
+    g_i the pixel distance of its mean from the principal point (per-axis
+    max) — |Δ(u±r)| ≤ (f + |u−cx| + 2r)·‖Δc‖/z' per axis, the 2r because
+    the EWA radius scales ~1/z².  Allowance a_i = margin for candidates
+    whose dilated footprint touches the image, margin + entry gap for
+    culled out-of-view gaussians (they must first travel the gap before
+    any tile membership appears).  The budget reduces to
+    s_trans = max P_i/a_i and s_rot = max P_i·‖c_i‖/a_i.
+    """
+    z, r, det, u, v = _depth_radius(means, quats, log_scales, camera, near)
+    rd = r + margin
+    full_cover = ((u - rd <= ts) & (u + rd >= (tx - 1) * ts)
+                  & (v - rd <= ts) & (v + rd >= (ty - 1) * ts))
+    counted = (z > near) & (det > 0.0) & ~full_cover
+    f = jnp.maximum(camera.fx, camera.fy)
+    gx = jnp.abs(u - camera.cx)
+    gy = jnp.abs(v - camera.cy)
+    g = jnp.maximum(gx, gy)
+    gap_x = jnp.maximum(jnp.maximum(-(u + rd), (u - rd) - camera.width), 0.0)
+    gap_y = jnp.maximum(jnp.maximum(-(v + rd), (v - rd) - camera.height),
+                        0.0)
+    # −1: the binning radius is ceil'd, so footprint edges carry up to 1 px
+    # of quantization jitter on top of the smooth bound (pinned by the
+    # brute-force conservativeness test); margin must exceed 1
+    a = (margin - 1.0) + jnp.maximum(gap_x, gap_y)
+    zc = jnp.maximum(z, near)
+    c_norm = zc * jnp.sqrt(1.0 + ((u - camera.cx) / camera.fx) ** 2
+                           + ((v - camera.cy) / camera.fy) ** 2)
+    P = jnp.where(counted, (f + g + 2.0 * r) / zc, 0.0)
+    s_trans = jnp.max(P / a)
+    s_rot = jnp.max(P * c_norm / a)
+    z_min = jnp.min(jnp.where(counted, z, jnp.inf))
+    behind = z <= near
+    near_gap = jnp.min(jnp.where(behind, near - z, jnp.inf))
+    return s_trans, s_rot, z_min, near_gap
 
 
 def dilated_build_config(config: RasterConfig, margin: float) -> RasterConfig:
@@ -167,64 +262,52 @@ def dilated_build_config(config: RasterConfig, margin: float) -> RasterConfig:
     return config._replace(max_tiles_per_gaussian=m_max, buckets=buckets)
 
 
-def camera_shift_bound(cache: MovingCache, camera: Camera) -> jnp.ndarray:
-    """Conservative screen-space shift (px) of any candidate footprint
-    between the cache's build camera and ``camera``.
+def camera_budget_used(cache: MovingCache, camera: Camera) -> jnp.ndarray:
+    """Fraction of the candidate-cache margin budget this camera consumes.
 
-    For a world point p with build-camera coords c (depth z ≥ z_min) and a
-    camera moved by (δR, δt):  c' = δR·(c − R·δt), so ‖c' − c‖ ≤ ‖δt‖ +
-    2·sin(θ/2)·(‖c‖ + ‖δt‖) with ‖c‖ ≤ κ·z, κ = sec of the padded
-    half-diagonal FOV.  The pixel shift of u = fx·x/z obeys |u' − u| ≤
-    (fx + |u − cx|)·‖c' − c‖ / z', and footprint growth is folded in by
-    the 2·r_max term.  Exceeding ``cache.margin`` means the candidate
-    lists may no longer be supersets — rebuild (or count a violation).
+    For a world point p with build-camera coords c (depth z) and a camera
+    moved by (δR, δt):  c' = δR·c − R_newᵀδt, so ‖c' − c‖ ≤ ‖δt‖ +
+    2·sin(θ/2)·‖c‖.  Each counted gaussian's footprint-edge shift then
+    obeys  shift_i ≤ P_i·corr·(‖δt‖ + 2·sin(θ/2)·(‖c_i‖ + ‖δt‖))  with
+    corr = z_min/(z_min − ‖δt‖) absorbing z' ≥ z − ‖δt‖; the candidate
+    lists remain supersets while shift_i ≤ a_i for every i
+    (see :func:`_margin_stats`), i.e. while this function's value stays
+    ≤ 1.  Behind-near-plane entry (camera retreat ≥ ``near_gap``) and
+    dt ≥ z_min return +inf.  Conservatism is pinned against brute-force
+    reprojection in tests/test_rasterize_moving.py.
     """
     dq = jnp.abs(jnp.sum(cache.base_q * camera.pose.q))
     theta = 2.0 * jnp.arccos(jnp.clip(dq, 0.0, 1.0))
     dt = jnp.linalg.norm(camera.pose.t - cache.base_t)
-    z_eff = jnp.maximum(cache.z_min - dt, 1e-3)
-    f = jnp.maximum(camera.fx, camera.fy)
-    m = cache.margin
-    kappa = jnp.sqrt(
-        1.0
-        + ((camera.width / 2 + m) / camera.fx) ** 2
-        + ((camera.height / 2 + m) / camera.fy) ** 2)
-    umax = max(camera.width, camera.height) / 2 + m
-    rel = dt / z_eff
-    return ((f + umax + 2.0 * cache.r_max)
-            * (rel + 2.0 * jnp.sin(theta / 2.0) * kappa * (1.0 + rel)))
+    corr = jnp.where(dt < cache.z_min,
+                     cache.z_min / jnp.maximum(cache.z_min - dt, 1e-12),
+                     jnp.inf)
+    sin_h = jnp.sin(jnp.minimum(theta / 2.0, jnp.pi / 2.0))
+    used = corr * (dt * cache.s_trans
+                   + 2.0 * sin_h * (cache.s_rot + dt * cache.s_trans))
+    return jnp.where(dt >= cache.near_gap, jnp.inf, used)
 
 
-def _eval_sh_rows(raw, dx, dy, dz, sh_degree: int):
-    """SH color from cached coefficient rows with (T, Kc) direction
-    components — same math as ops/sh.py::eval_sh_color, channel-major."""
-    def co(k, c):
-        return raw[:, _RM_SH + 3 * k + c]
-
-    cols = []
-    for c in range(3):
-        r = _SH_C0 * co(0, c)
-        if sh_degree >= 1:
-            r = (r - _SH_C1 * dy * co(1, c) + _SH_C1 * dz * co(2, c)
-                 - _SH_C1 * dx * co(3, c))
-        if sh_degree >= 2:
-            xx, yy, zz = dx * dx, dy * dy, dz * dz
-            xy, yz, xz = dx * dy, dy * dz, dx * dz
-            r = (r + _SH_C2[0] * xy * co(4, c) + _SH_C2[1] * yz * co(5, c)
-                 + _SH_C2[2] * (2.0 * zz - xx - yy) * co(6, c)
-                 + _SH_C2[3] * xz * co(7, c)
-                 + _SH_C2[4] * (xx - yy) * co(8, c))
-        if sh_degree >= 3:
-            r = (r + _SH_C3[0] * dy * (3.0 * xx - yy) * co(9, c)
-                 + _SH_C3[1] * xy * dz * co(10, c)
-                 + _SH_C3[2] * dy * (4.0 * zz - xx - yy) * co(11, c)
-                 + _SH_C3[3] * dz * (2.0 * zz - 3.0 * xx - 3.0 * yy)
-                 * co(12, c)
-                 + _SH_C3[4] * dx * (4.0 * zz - xx - yy) * co(13, c)
-                 + _SH_C3[5] * dz * (xx - yy) * co(14, c)
-                 + _SH_C3[6] * dx * (dx * dx - 3.0 * yy) * co(15, c))
-        cols.append(jnp.maximum(r + 0.5, 0.0))
-    return cols
+def _sh_basis(dx, dy, dz, sh_degree: int) -> jnp.ndarray:
+    """(T, K, Kc) stacked real-SH basis from (T, Kc) direction components
+    — same polynomials as ops/sh.py::eval_sh."""
+    b = [jnp.full_like(dx, _SH_C0)]
+    if sh_degree >= 1:
+        b += [-_SH_C1 * dy, _SH_C1 * dz, -_SH_C1 * dx]
+    if sh_degree >= 2:
+        xx, yy, zz = dx * dx, dy * dy, dz * dz
+        xy, yz, xz = dx * dy, dy * dz, dx * dz
+        b += [_SH_C2[0] * xy, _SH_C2[1] * yz,
+              _SH_C2[2] * (2.0 * zz - xx - yy), _SH_C2[3] * xz,
+              _SH_C2[4] * (xx - yy)]
+    if sh_degree >= 3:
+        b += [_SH_C3[0] * dy * (3.0 * xx - yy), _SH_C3[1] * xy * dz,
+              _SH_C3[2] * dy * (4.0 * zz - xx - yy),
+              _SH_C3[3] * dz * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+              _SH_C3[4] * dx * (4.0 * zz - xx - yy),
+              _SH_C3[5] * dz * (xx - yy),
+              _SH_C3[6] * dx * (xx - 3.0 * yy)]
+    return jnp.stack(b, axis=1)
 
 
 def reproject_candidates(
@@ -246,14 +329,13 @@ def reproject_candidates(
 
     Returns (spay (T, 10, Kc) depth-sorted kernel payload, counts (T,)).
     """
-    raw = cache.raw
-    T, _, Kc = raw.shape
+    T, _, Kc = cache.mean.shape
     ts = config.tile_size
     tx = -(-camera.width // ts)
 
-    mx = raw[:, _RM_MEAN + 0]
-    my = raw[:, _RM_MEAN + 1]
-    mz = raw[:, _RM_MEAN + 2]
+    mx = cache.mean[:, 0]
+    my = cache.mean[:, 1]
+    mz = cache.mean[:, 2]
 
     w2c = camera.pose.inverse()
     R = w2c.rotation_matrix()
@@ -267,19 +349,19 @@ def reproject_candidates(
     # q_cam = w2c.q ⊗ q, Hamilton, then rotation rows of the normalized
     # product scaled by exp(log_scales): M = R_cam·S row by row
     pw, px_, py_, pz_ = w2c.q[0], w2c.q[1], w2c.q[2], w2c.q[3]
-    rw = raw[:, _RM_QUAT + 0]
-    rx = raw[:, _RM_QUAT + 1]
-    ry = raw[:, _RM_QUAT + 2]
-    rz = raw[:, _RM_QUAT + 3]
+    rw = cache.quat[:, 0]
+    rx = cache.quat[:, 1]
+    ry = cache.quat[:, 2]
+    rz = cache.quat[:, 3]
     qw = pw * rw - px_ * rx - py_ * ry - pz_ * rz
     qx = pw * rx + px_ * rw + py_ * rz - pz_ * ry
     qy = pw * ry - px_ * rz + py_ * rw + pz_ * rx
     qz = pw * rz + px_ * ry - py_ * rx + pz_ * rw
     qn = jnp.maximum(jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz), 1e-12)
     qw, qx, qy, qz = qw / qn, qx / qn, qy / qn, qz / qn
-    s0 = jnp.exp(raw[:, _RM_LS + 0])
-    s1 = jnp.exp(raw[:, _RM_LS + 1])
-    s2 = jnp.exp(raw[:, _RM_LS + 2])
+    s0 = jnp.exp(cache.log_scales[:, 0])
+    s1 = jnp.exp(cache.log_scales[:, 1])
+    s2 = jnp.exp(cache.log_scales[:, 2])
     m00 = (1 - 2 * (qy * qy + qz * qz)) * s0
     m01 = (2 * (qx * qy - qw * qz)) * s1
     m02 = (2 * (qx * qz + qw * qy)) * s2
@@ -313,12 +395,17 @@ def reproject_candidates(
     lam = mid + jnp.sqrt(jnp.maximum(mid * mid - det_safe, 0.01))
     radius = jnp.ceil(3.0 * jnp.sqrt(lam))
 
-    # exact per-frame SH for the current view directions
+    # exact per-frame SH for the current view directions: one stacked
+    # basis + one einsum over the coefficient axis (single-op VJP)
     dxw = mx - camera.pose.t[0]
     dyw = my - camera.pose.t[1]
     dzw = mz - camera.pose.t[2]
     dn = jnp.maximum(jnp.sqrt(dxw * dxw + dyw * dyw + dzw * dzw), 1e-12)
-    cr, cg, cbl = _eval_sh_rows(raw, dxw / dn, dyw / dn, dzw / dn, sh_degree)
+    K = (sh_degree + 1) ** 2
+    basis = _sh_basis(dxw / dn, dyw / dn, dzw / dn, sh_degree)  # (T, K, Kc)
+    cols = jnp.maximum(
+        jnp.einsum("tkx,tkcx->tcx", basis, cache.sh[:, :K]) + 0.5, 0.0)
+    cr, cg, cbl = cols[:, 0], cols[:, 1], cols[:, 2]
 
     # current-footprint tile test: a candidate whose 3σ bbox misses its
     # tile contributes exactly 0 under sigma_cutoff ≥ 3 — compact it away
@@ -328,10 +415,13 @@ def reproject_candidates(
     oy = (tix // tx)[:, None] * ts
     touches = ((u + radius > ox) & (u - radius < ox + ts)
                & (v + radius > oy) & (v - radius < oy + ts))
-    op = raw[:, _RM_OP]
-    op_eff = jnp.where((z > near) & (det > 0.0) & touches, op, 0.0)
+    op_eff = jnp.where((z > near) & (det > 0.0) & touches,
+                       cache.opacity, 0.0)
 
-    key = jnp.where(op_eff > 0.0, z, jnp.inf)
+    # the key only ORDERS entries (grads reach depth through the payload's
+    # own z row); without stop_gradient jax builds the full sort-VJP
+    # machinery over the (T, Kc) width — measured as a 27 GB HBM backward
+    key = lax.stop_gradient(jnp.where(op_eff > 0.0, z, jnp.inf))
     iota = jnp.broadcast_to(jnp.arange(Kc, dtype=jnp.int32), key.shape)
     _, order = lax.sort((key, iota), dimension=1, num_keys=1)
     _, dest = lax.sort((order, iota), dimension=1, num_keys=1)
@@ -368,7 +458,7 @@ def render_moving_batch(
     from sim_a_splat_tpu.ops.rasterize_cached import TileCache
 
     ts = config.tile_size
-    B, T, _, Kc = caches.raw.shape
+    B, T, _, Kc = caches.mean.shape
     H = cameras.height
     W = cameras.width
     tx = -(-W // ts)

@@ -21,8 +21,8 @@ import pytest
 from sim_a_splat_tpu.ops import sh as sh_ops
 from sim_a_splat_tpu.ops.projection import Camera, Projected, project_raw, view_directions
 from sim_a_splat_tpu.ops.rasterize_moving import (
-    MovingCache, build_moving_cache, camera_shift_bound, dilated_build_config,
-    render_moving_batch,
+    MovingCache, build_moving_cache, camera_budget_used,
+    dilated_build_config, render_moving_batch,
 )
 from sim_a_splat_tpu.ops.rasterize_tiles import RasterConfig, render_binned
 from sim_a_splat_tpu.ops.transforms import SE3
@@ -107,7 +107,7 @@ def test_moving_matches_rebin(sh_degree, term_eps):
     cams = batch_cams(*shifted)
     for b in range(2):
         cb = cam_at(shifted[b])
-        assert float(camera_shift_bound(cache, cb)) <= MARGIN
+        assert float(camera_budget_used(cache, cb)) <= 1.0
 
     imgs, aux = jax.jit(
         lambda cams: moving_render(static, dyn, cams, cache, sh_degree,
@@ -126,14 +126,58 @@ def test_moving_matches_rebin(sh_degree, term_eps):
 def test_shift_bound_flags_large_motion():
     static, _, cam = setup(sh_degree=0)
     cache = build(static, cam)
-    # millimeter-scale translation: well inside the margin
-    assert float(camera_shift_bound(cache, cam_at([0.002, 0, -3.0]))) < 1.0
+    # millimeter-scale translation: well inside the budget
+    assert float(camera_budget_used(cache, cam_at([0.002, 0, -3.0]))) < 0.5
     # a large jump must exceed the budget
-    assert float(camera_shift_bound(cache, cam_at([0.8, 0, -3.0]))) > MARGIN
-    # pure rotation consumes margin too
+    assert float(camera_budget_used(cache, cam_at([0.8, 0, -3.0]))) > 1.0
+    # pure rotation consumes budget too
     q = jnp.asarray([np.cos(0.1), 0.0, np.sin(0.1), 0.0], jnp.float32)
-    assert float(camera_shift_bound(
-        cache, cam_at([0.0, 0, -3.0], q=tuple(np.asarray(q))))) > MARGIN
+    assert float(camera_budget_used(
+        cache, cam_at([0.0, 0, -3.0], q=tuple(np.asarray(q))))) > 1.0
+
+
+def test_shift_bound_is_conservative():
+    """The budget fraction must dominate the BRUTE-FORCE per-gaussian
+    footprint-edge shift over allowance for random small camera motions —
+    this is the exactness guarantee the moving path rests on: while
+    camera_budget_used ≤ 1, every counted gaussian moved less than its
+    allowance, so the candidate lists are still supersets."""
+    from sim_a_splat_tpu.ops.rasterize_moving import _depth_radius
+
+    static, _, cam = setup(sh_degree=0)
+    cache = build(static, cam)
+    ts, tx, ty = 16, 3, 2
+    W, H = 48, 32
+    z0, r0, det0, u0, v0 = _depth_radius(
+        static.means, static.quats, static.log_scales, cam)
+    rd = np.asarray(r0 + MARGIN)
+    u0n, v0n = np.asarray(u0), np.asarray(v0)
+    full_cover = ((u0n - rd <= ts) & (u0n + rd >= (tx - 1) * ts)
+                  & (v0n - rd <= ts) & (v0n + rd >= (ty - 1) * ts))
+    counted = np.asarray((z0 > 0.01) & (det0 > 0)) & ~full_cover
+    assert counted.any()
+    gap_x = np.maximum(np.maximum(-(u0n + rd), (u0n - rd) - W), 0.0)
+    gap_y = np.maximum(np.maximum(-(v0n + rd), (v0n - rd) - H), 0.0)
+    # the smooth bound covers edges up to the 1 px ceil quantization,
+    # which _margin_stats budgets by shrinking the allowance
+    allowance = (MARGIN - 1.0) + np.maximum(gap_x, gap_y)
+
+    rng = np.random.default_rng(3)
+    for _ in range(8):
+        dt = rng.normal(0, 0.015, 3)
+        ang = rng.normal(0, 0.01)
+        ax = rng.normal(size=3)
+        ax /= np.linalg.norm(ax)
+        q = np.concatenate([[np.cos(ang / 2)], np.sin(ang / 2) * ax])
+        cam2 = cam_at(np.asarray([0.0, 0.0, -3.0]) + dt, tuple(q))
+        used = float(camera_budget_used(cache, cam2))
+        z1, r1, det1, u1, v1 = _depth_radius(
+            static.means, static.quats, static.log_scales, cam2)
+        dr = np.maximum(np.abs(np.asarray(r1 - r0)) - 1.0, 0.0)
+        du = np.abs(np.asarray(u1 - u0)) + dr
+        dv = np.abs(np.asarray(v1 - v0)) + dr
+        frac = (np.maximum(du, dv) / allowance)[counted].max()
+        assert float(frac) <= used + 1e-4, (float(frac), used)
 
 
 def test_dilated_build_config_budgets():

@@ -304,3 +304,48 @@ def test_render_with_cache_differentiable():
     gm = np.asarray(g.means)
     assert np.isfinite(gm).all()
     assert np.abs(gm).max() > 0
+
+
+def test_rollout_with_cache_batch_matches_stepwise():
+    """The R-step rollout (frame-coherent moving-camera candidate caches,
+    ops/rasterize_moving.py) must reproduce sequential
+    ``step_with_cache_batch`` calls whose moving camera full-rebins —
+    same rewards, same images (both cameras), zero severe drops."""
+    import dataclasses
+
+    wrapper, _ = build_wrapper()
+    # lift the moving camera out of the background cloud: with gaussians
+    # centimeters from the lens, ANY camera motion honestly exceeds a
+    # margin budget (their footprints really do fly across the screen)
+    cams = dict(wrapper.cameras)
+    cams[1] = dataclasses.replace(
+        cams[1], local_frame=((1.0, 0, 0, 0), (0.0, 0.0, -2.2)))
+    wrapper = dataclasses.replace(
+        wrapper, cameras=tuple(cams.items()),
+        raster=RasterConfig(tile_capacity=128, chunk=128,
+                            sigma_cutoff=3.0,
+                            backend="pallas_interpret"))
+    states = _batch_reset(wrapper, B=2)
+    R = 2
+    actions_seq = jnp.asarray(
+        [[[0.01, -0.01], [0.015, 0.005]],
+         [[0.015, -0.005], [0.01, 0.01]]], jnp.float32)    # (R, B, 2)
+    caches = wrapper.build_render_cache()
+
+    trs = jax.jit(lambda s, a: wrapper.rollout_with_cache_batch(
+        s, a, caches, sel_tiles=12, moving_margin=80.0,
+        moving_kc=128))(states, actions_seq)
+    assert int(trs.info["render_overflow"].max()) == 0
+
+    s = states
+    for t in range(R):
+        tr = wrapper.step_with_cache_batch(s, actions_seq[t], caches,
+                                           sel_tiles=12)
+        s = tr.state
+        np.testing.assert_allclose(np.asarray(trs.reward[t]),
+                                   np.asarray(tr.reward), rtol=1e-5,
+                                   atol=1e-6)
+        for k in ("camera_0", "camera_1"):
+            np.testing.assert_allclose(np.asarray(trs.obs[k][t]),
+                                       np.asarray(tr.obs[k]),
+                                       atol=1e-4, rtol=1e-3)
