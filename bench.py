@@ -133,9 +133,9 @@ def main():
         keys = jax.random.split(jax.random.key(0), nb)
         actions = jnp.tile(jnp.asarray([150.0, 250.0], jnp.float32), (nb, 1))
         if cached == "moving_cached":
-            R = int(os.environ.get("MOVING_R", "8"))
+            R = int(os.environ.get("MOVING_R", "32"))
             margin = float(os.environ.get("MOVING_MARGIN", "16"))
-            kc = int(os.environ.get("MOVING_KC", "2048"))
+            kc = int(os.environ.get("MOVING_KC", "512"))
             frames_mult = R
             mv_raster = raster._replace(
                 buckets=((4, 0.80), (9, 0.12), (16, 0.08)))
@@ -332,11 +332,12 @@ def main():
                 os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
             from bench_product import measure_product
             pb = min(B, 16)
+            pR = int(os.environ.get("PRODUCT_R", "8"))
             fpsp = measure_product(B=pb, N=N, iters=max(ITERS // 2, 3),
                                    log=log)
             return fpsp, "env_frames/s/chip", dict(
-                B=pb, res="240x320", cameras=2,
-                metric="arm_splat_wrapper_2cam_fwdbwd")
+                B=pb, R=pR, res="240x320", cameras=2,
+                metric="arm_splat_wrapper_2cam_rollout_fwdbwd")
 
         run_variant("product_2cam", product, min_left=75.0)
 
@@ -344,7 +345,7 @@ def main():
             # round-5 fast path: candidate-cache rollout (R frames/chunk);
             # n_severe counts margin-violated env-frames — 0 ⇒ exact
             mb = int(os.environ.get("MOVING_B", str(min(B, 16))))
-            R = int(os.environ.get("MOVING_R", "8"))
+            R = int(os.environ.get("MOVING_R", "32"))
             fpsm, n_sev = measure("variant:moving_cached", g3,
                                   "moving_cached", max(ITERS // 2, 3),
                                   nb=mb)

@@ -128,9 +128,14 @@ def build_product_wrapper(n_total=100_000, sh_degree=3, seed=0,
 
 def measure_product(B=8, N=100_000, iters=5, render_size=(240, 320),
                     log=print, backend=None, sel_tiles=None,
-                    dyn_capacity=None):
-    """Compile + time the 2-camera wrapper step, fwd+bwd wrt the scene.
-    Returns env-frames/s (each frame = physics step + 2 rendered cameras)."""
+                    dyn_capacity=None, R=None):
+    """Compile + time the 2-camera wrapper ROLLOUT, fwd+bwd wrt the scene.
+    Returns env-frames/s (each frame = physics step + 2 rendered cameras).
+
+    Round 5: drives ``rollout_with_cache_batch`` — R control steps per
+    call with the EEF camera on the frame-coherent candidate-cache path
+    (ops/rasterize_moving.py), the reference's actual teleop hot loop
+    (splat_env_wrapper.py:140-159) amortizing its per-frame binning."""
     import jax
     import jax.numpy as jnp
 
@@ -146,58 +151,58 @@ def measure_product(B=8, N=100_000, iters=5, render_size=(240, 320),
     # the arm+block dynamics (18k gaussians) spread over most of the
     # 15×20-tile viewport and central tiles exceed 128 dynamic entries:
     # sel_tiles=160/dyn_cap=128 dropped tiles (overflow=352 in the first
-    # r4 record); 256/256 covers it (overflow logged per run below).  The
-    # product step is moving-EEF-camera dominated, so the extra sel grid
-    # slots are cheap.
+    # r4 record); 256/256 covers it (overflow logged per run below).
     if sel_tiles is None:
         sel_tiles = int(os.environ.get("PRODUCT_SEL_TILES", "256"))
     if dyn_capacity is None:
         dyn_capacity = int(os.environ.get("PRODUCT_DYN_CAP", "256"))
+    if R is None:
+        R = int(os.environ.get("PRODUCT_R", "8"))
+    margin = float(os.environ.get("PRODUCT_MARGIN", "16"))
+    kc = int(os.environ.get("PRODUCT_KC", "1024"))
 
     keys = jax.random.split(jax.random.key(0), B)
     reset_to = {"robot_pos": np.zeros(6),
                 "block_pos": np.array([0.45, 0.0, 0.2, 0.0])}
     states, _ = jax.jit(jax.vmap(
         lambda k: wrapper.env.reset(k, reset_to)))(keys)
-    actions = jnp.tile(jnp.asarray(
-        [0.0, 0.3, 0.4, 0.0, 0.4, 0.0], jnp.float32), (B, 1))
+    actions_seq = jnp.tile(jnp.asarray(
+        [0.0, 0.3, 0.4, 0.0, 0.4, 0.0], jnp.float32), (R, B, 1))
 
-    def loss_of(scene, states, actions):
+    def loss_of(scene, states, actions_seq):
         w = _dc.replace(wrapper, graph=graph._replace(scene=scene))
-        # production path (round-4): static tile cache for the fixed
-        # viewport camera built once per train step; ALL envs' dynamic-
-        # touched viewport tiles composite in one selected-tile pallas
-        # launch; the moving EEF camera full-rebins per env under vmap
         caches = w.build_render_cache(scene)
-        tr = w.step_with_cache_batch(states, actions, caches,
-                                     sel_tiles=sel_tiles,
-                                     dyn_capacity=dyn_capacity)
-        return (jnp.mean(tr.obs["camera_0"] ** 2)
-                + jnp.mean(tr.obs["camera_1"] ** 2),
-                (tr.state, tr.info["render_overflow"][0]))
+        trs = w.rollout_with_cache_batch(
+            states, actions_seq, caches, sel_tiles=sel_tiles,
+            dyn_capacity=dyn_capacity, moving_margin=margin, moving_kc=kc)
+        return (jnp.mean(trs.obs["camera_0"] ** 2)
+                + jnp.mean(trs.obs["camera_1"] ** 2),
+                (trs.state, trs.info["render_overflow"][-1].max()))
 
-    def fwd_bwd(scene, states, actions):
+    def fwd_bwd(scene, states, actions_seq):
         (loss, (ns, overflow)), grads = jax.value_and_grad(
-            lambda sc: loss_of(sc, states, actions), has_aux=True)(scene)
+            lambda sc: loss_of(sc, states, actions_seq), has_aux=True)(scene)
         return ns, loss, overflow, grads
 
     jitted = jax.jit(fwd_bwd, donate_argnums=(1,))
-    log(f"[product] compiling... (B={B} N={N} res={render_size} "
-        f"backend={backend} sel_tiles={sel_tiles})")
+    log(f"[product] compiling... (B={B} N={N} res={render_size} R={R} "
+        f"backend={backend} sel_tiles={sel_tiles} kc={kc})")
     t0 = time.time()
-    states, loss, overflow, grads = jitted(graph.scene, states, actions)
+    states, loss, overflow, grads = jitted(graph.scene, states, actions_seq)
     jax.block_until_ready(loss)
-    log(f"[product] compiled+first step in {time.time() - t0:.1f}s, "
+    log(f"[product] compiled+first call in {time.time() - t0:.1f}s, "
         f"loss={float(loss):.5f} render_overflow={int(overflow)}")
     t0 = time.time()
     for _ in range(iters):
-        states, loss, overflow, grads = jitted(graph.scene, states, actions)
+        states, loss, overflow, grads = jitted(graph.scene, states,
+                                               actions_seq)
     jax.block_until_ready(loss)
     dt = time.time() - t0
-    fps = B * iters / dt
-    log(f"[product] {B * iters} env-frames (2 cams each) in {dt:.2f}s "
-        f"→ {fps:.1f} frames/s (ms/frame {1e3 * dt / (B * iters):.2f}) "
-        f"overflow={int(overflow)}")
+    frames = B * iters * R
+    fps = frames / dt
+    log(f"[product] {frames} env-frames (2 cams each) in {dt:.2f}s "
+        f"→ {fps:.1f} frames/s (ms/frame {1e3 * dt / frames:.2f}) "
+        f"steady-state overflow={int(overflow)}")
     return fps
 
 

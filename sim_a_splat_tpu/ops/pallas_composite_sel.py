@@ -344,6 +344,242 @@ def _bwd_kernel(ids_ref, cs_ref, cd_ref, spay_ref, dpay_ref, ct_ref,
                     dop_pc, axis=0, keepdims=True)
 
 
+def _fwd_kernel_single(ids_ref, cs_ref, spay_ref, out_ref, acc_ref, ts_ref,
+                       alive_ref, *, ts, tx, ncs, power_min, term_eps,
+                       per_env, save_state):
+    """Single-list forward: one depth-sorted per-tile list, no dynamic
+    interleave state at all — the moving-camera path merges its per-frame
+    dynamics INTO the candidate list before the kernel, so every tile
+    walks the plain front-to-back recurrence (the dyn-free branch of
+    ``_fwd_kernel``) and the backward needs only the applied-chunk count
+    (row 5), never an ltsd block.  That keeps the rollout scan's saved
+    residuals at payload+output size, small enough to avoid remat's
+    double forward."""
+    P = ts * ts
+    f32 = spay_ref.dtype
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    tid = ids_ref[b, i]
+    px, py = _pixel_coords_tid(tid, ts, tx, f32)
+    count_s = cs_ref[b, tid] if per_env else cs_ref[tid]
+
+    acc_ref[...] = jnp.zeros((P, 4), f32)
+    ts_ref[...] = jnp.ones((P, 1), f32)
+    alive_ref[0] = jnp.int32(1)
+    alive_ref[1] = jnp.int32(0)
+
+    for c in range(ncs):
+        c0 = c * CHUNK
+
+        @pl.when((alive_ref[0] == 1) & (c0 < count_s))
+        def _():
+            alive_ref[1] = alive_ref[1] + 1
+            alpha, _, _, _, _, _, _, _ = _chunk_geometry(
+                spay_ref, c0, px, py, power_min)
+            ls = jnp.log1p(-alpha)
+            cs = _cumsum_lanes(ls, CHUNK)
+            tsv = ts_ref[...]
+            w = alpha * jnp.exp(cs - ls) * tsv
+            crgbd = spay_ref[_ROW_RGBD, c0:c0 + CHUNK]
+            acc_ref[...] += _dot(w, crgbd, ((1,), (1,)))
+            ts_new = tsv * jnp.exp(cs[:, CHUNK - 1:CHUNK])
+            ts_ref[...] = ts_new
+            if term_eps is not None:
+                alive_ref[0] = (jnp.max(ts_new)
+                                >= term_eps).astype(jnp.int32)
+
+    napp = jnp.full((P, 1), alive_ref[1], f32) if save_state else \
+        jnp.zeros((P, 1), f32)
+    res = jnp.concatenate(
+        [acc_ref[...], ts_ref[...], napp, jnp.zeros((P, 2), f32)], axis=1)
+    out_ref[...] = res.T
+
+
+def _bwd_kernel_single(ids_ref, cs_ref, spay_ref, ct_ref, fwd_ref, gs_ref,
+                       ts_ref, prefix_ref, *, ts, tx, ncs, power_min,
+                       per_env):
+    """Single-list gradient walk — the dyn-free branch of ``_bwd_kernel``
+    standalone: rebuilds exclusive transmittances forward from the
+    payload (cheap per-chunk recompute, no saved state beyond the
+    forward's applied-chunk count in row 5)."""
+    P = ts * ts
+    f32 = spay_ref.dtype
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    tid = ids_ref[b, i]
+    px, py = _pixel_coords_tid(tid, ts, tx, f32)
+
+    gs_ref[...] = jnp.zeros_like(gs_ref)
+    ts_ref[...] = jnp.ones((P, 1), f32)
+    prefix_ref[...] = jnp.zeros((P, 1), f32)
+
+    ct_t = ct_ref[...].T                                      # (P, 8)
+    fwd_t = fwd_ref[...].T
+    ct_rgbd = ct_t[:, 0:4]
+    ct_tc = ct_t[:, 4:5]
+    s_tot = jnp.sum(ct_rgbd * fwd_t[:, 0:4], axis=1, keepdims=True)
+    trans_term = ct_tc * fwd_t[:, 4:5]
+    n_applied = jnp.max(fwd_t[:, 5]).astype(jnp.int32)
+
+    for c in range(ncs):
+        c0 = c * CHUNK
+
+        @pl.when(c < n_applied)
+        def _():
+            alpha, active, expp, dx, dy, ca, cb, cc = _chunk_geometry(
+                spay_ref, c0, px, py, power_min)
+            om = 1.0 - alpha
+            cp = _cumprod_lanes(om, CHUNK)
+            tsv = ts_ref[...]
+            texcl_u = (cp / om) * tsv
+            crgbd = spay_ref[_ROW_RGBD, c0:c0 + CHUNK]
+            bs = _dot(ct_rgbd, crgbd, ((1,), (0,)))           # (P, C)
+            bw = bs * alpha * texcl_u
+            incl = _cumsum_lanes(bw, CHUNK)
+            suffix = s_tot - (prefix_ref[...] + incl)
+            one_m = jnp.maximum(om, 1.0 - ALPHA_CLAMP)
+            dalpha = bs * texcl_u - (suffix + trans_term) / one_m
+            dop_pc = dalpha * expp * active
+            dpower = dalpha * alpha * active
+            ddx = dpower * (-(ca * dx + cb * dy))
+            ddy = dpower * (-(cc * dy + cb * dx))
+            sl = slice(c0, c0 + CHUNK)
+            gs_ref[_ROW_X:_ROW_X + 1, sl] = -jnp.sum(
+                ddx, axis=0, keepdims=True)
+            gs_ref[_ROW_Y:_ROW_Y + 1, sl] = -jnp.sum(
+                ddy, axis=0, keepdims=True)
+            gs_ref[_ROW_CA:_ROW_CA + 1, sl] = jnp.sum(
+                dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
+            gs_ref[_ROW_CB:_ROW_CB + 1, sl] = jnp.sum(
+                dpower * (-dx * dy), axis=0, keepdims=True)
+            gs_ref[_ROW_CC:_ROW_CC + 1, sl] = jnp.sum(
+                dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
+            gs_ref[_ROW_RGBD, sl] = _dot(ct_rgbd, alpha * texcl_u,
+                                         ((0,), (0,)))
+            gs_ref[_ROW_OP:_ROW_OP + 1, sl] = jnp.sum(
+                dop_pc, axis=0, keepdims=True)
+            prefix_ref[...] += incl[:, CHUNK - 1:CHUNK]
+            ts_ref[...] = tsv * cp[:, CHUNK - 1:CHUNK]
+
+
+def _call_single_fwd(spay_pad, ids, counts_s_pad, ts, tx, power_min,
+                     interpret, term_eps, save_state=False):
+    per_env = spay_pad.ndim == 4
+    T1, Ks = spay_pad.shape[-3], spay_pad.shape[-1]
+    B, TT = ids.shape
+    P = ts * ts
+    kern = functools.partial(
+        _fwd_kernel_single, ts=ts, tx=tx, ncs=Ks // CHUNK,
+        power_min=power_min, term_eps=term_eps, per_env=per_env,
+        save_state=save_state)
+    spay_spec = (
+        pl.BlockSpec((None, None, 10, Ks),
+                     lambda b, i, ids, cs: (b, ids[b, i], 0, 0))
+        if per_env else
+        pl.BlockSpec((None, 10, Ks),
+                     lambda b, i, ids, cs: (ids[b, i], 0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, TT),
+        in_specs=[spay_spec],
+        out_specs=pl.BlockSpec(
+            (None, None, 8, P), lambda b, i, ids, cs: (b, ids[b, i], 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((P, 4), spay_pad.dtype),
+            pltpu.VMEM((P, 1), spay_pad.dtype),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T1, 8, P), spay_pad.dtype),
+        interpret=interpret,
+    )(ids, counts_s_pad, spay_pad)
+
+
+def _call_single_bwd(spay_pad, ids, counts_s_pad, ct, fwd_out, ts, tx,
+                     power_min, interpret):
+    per_env = spay_pad.ndim == 4
+    T1, Ks = spay_pad.shape[-3], spay_pad.shape[-1]
+    B, TT = ids.shape
+    P = ts * ts
+    kern = functools.partial(
+        _bwd_kernel_single, ts=ts, tx=tx, ncs=Ks // CHUNK,
+        power_min=power_min, per_env=per_env)
+    spay_spec = (
+        pl.BlockSpec((None, None, 10, Ks),
+                     lambda b, i, ids, cs: (b, ids[b, i], 0, 0))
+        if per_env else
+        pl.BlockSpec((None, 10, Ks),
+                     lambda b, i, ids, cs: (ids[b, i], 0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, TT),
+        in_specs=[
+            spay_spec,
+            pl.BlockSpec((None, None, 8, P),
+                         lambda b, i, ids, cs: (b, ids[b, i], 0, 0)),
+            pl.BlockSpec((None, None, 8, P),
+                         lambda b, i, ids, cs: (b, ids[b, i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, None, 10, Ks), lambda b, i, ids, cs: (b, i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), spay_pad.dtype),
+            pltpu.VMEM((P, 1), spay_pad.dtype),
+        ],
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, TT, 10, Ks), spay_pad.dtype),
+        interpret=interpret,
+    )(ids, counts_s_pad, spay_pad, ct, fwd_out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def composite_sel_single(spay_pad, ids, counts_s_pad, ts: int, tx: int,
+                         sigma_cutoff: Optional[float], interpret: bool,
+                         term_eps: Optional[float] = None):
+    """Single-list selected-tile composite (per-env or shared payload).
+
+    Same contract as :func:`composite_pair_sel` with the dynamic list
+    empty — used by the moving-camera path, which merges per-frame
+    dynamics into the depth-sorted candidate list before compositing.
+    Returns (B, T+1, 8, P); rows 5-7 are kernel-internal (the training
+    forward stashes the applied-chunk count in row 5).
+    """
+    pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
+    return _call_single_fwd(spay_pad, ids, counts_s_pad, ts, tx, pmin,
+                            interpret, term_eps)
+
+
+def _single_fwd(spay_pad, ids, counts_s_pad, ts, tx, sigma_cutoff,
+                interpret, term_eps):
+    pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
+    out = _call_single_fwd(spay_pad, ids, counts_s_pad, ts, tx, pmin,
+                           interpret, term_eps, save_state=True)
+    return out, (spay_pad, ids, counts_s_pad, out)
+
+
+def _single_bwd(ts, tx, sigma_cutoff, interpret, term_eps, res, ct):
+    import numpy as _np
+
+    spay_pad, ids, counts_s_pad, out = res
+    pmin = None if sigma_cutoff is None else -0.5 * sigma_cutoff**2
+    gs_sel = _call_single_bwd(spay_pad, ids, counts_s_pad, ct, out, ts, tx,
+                              pmin, interpret)
+    if spay_pad.ndim == 4:
+        gs_pad = jnp.concatenate(
+            [gs_sel, jnp.zeros_like(gs_sel[:, :1])], axis=1)
+    else:
+        gs_pad = _scatter_rows(gs_sel, ids, spay_pad.shape[0])
+    zero = lambda a: _np.zeros(a.shape, jax.dtypes.float0)
+    return gs_pad, zero(ids), zero(counts_s_pad)
+
+
+composite_sel_single.defvjp(_single_fwd, _single_bwd)
+
+
 def _call_fwd(spay_pad, dpay, ids, counts_s_pad, counts_d, ts, tx,
               power_min, interpret, term_eps, exact, save_state=False):
     per_env = spay_pad.ndim == 4      # (B, T+1, 10, Ks) per-env payload

@@ -317,6 +317,7 @@ def reproject_candidates(
     config: RasterConfig,
     near: float = 0.01,
     eps2d: float = BLUR_2D,
+    sort: bool = True,
 ):
     """Project the cached candidates under the CURRENT camera.
 
@@ -327,7 +328,10 @@ def reproject_candidates(
     per-tile lists match a fresh ``gather_tile_lists`` of the same tile up
     to fp reassociation and capacity truncation.
 
-    Returns (spay (T, 10, Kc) depth-sorted kernel payload, counts (T,)).
+    With ``sort=True`` returns (spay (T, 10, Kc) depth-sorted kernel
+    payload, counts (T,)); with ``sort=False`` returns the raw
+    (payload (T, Kc, 10), key (T, Kc)) for the caller to merge with
+    per-frame dynamics before one joint sort (render_moving_batch).
     """
     T, _, Kc = cache.mean.shape
     ts = config.tile_size
@@ -422,13 +426,22 @@ def reproject_candidates(
     # own z row); without stop_gradient jax builds the full sort-VJP
     # machinery over the (T, Kc) width — measured as a 27 GB HBM backward
     key = lax.stop_gradient(jnp.where(op_eff > 0.0, z, jnp.inf))
-    iota = jnp.broadcast_to(jnp.arange(Kc, dtype=jnp.int32), key.shape)
-    _, order = lax.sort((key, iota), dimension=1, num_keys=1)
-    _, dest = lax.sort((order, iota), dimension=1, num_keys=1)
     payload = jnp.stack([u, v, ca, cb, cc, cr, cg, cbl, z, op_eff], axis=-1)
-    spay = jnp.swapaxes(_permute_rows(payload, dest), 1, 2)  # (T, 10, Kc)
+    if not sort:
+        return payload, key
+    spay = jnp.swapaxes(_sort_by_key(payload, key), 1, 2)    # (T, 10, Kc)
     counts = jnp.sum(op_eff > 0.0, axis=1).astype(jnp.int32)
     return spay, counts
+
+
+def _sort_by_key(payload: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
+    """Sort (T, K, C) payload rows by (T, K) keys via the gather-free
+    permute (two int sorts + one sort-apply, custom VJP)."""
+    K = key.shape[1]
+    iota = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), key.shape)
+    _, order = lax.sort((key, iota), dimension=1, num_keys=1)
+    _, dest = lax.sort((order, iota), dimension=1, num_keys=1)
+    return _permute_rows(payload, dest)
 
 
 def render_moving_batch(
@@ -448,14 +461,20 @@ def render_moving_batch(
     """One batched moving-camera render against per-env candidate caches.
 
     Dynamics are exactly re-binned per env per frame (they move every
-    step; Nd is small), statics come from ``reproject_candidates``, and
-    one per-env-static selected-tile kernel launch composites all tiles.
+    step; Nd is small) and MERGED into the candidate lists by the same
+    per-tile depth sort that re-orders the reprojected statics, so the
+    composite is ONE single-list kernel launch (``composite_sel_single``)
+    with no dynamic-interleave state: no (P, Kd) MXU dots per chunk and —
+    critically — no (B, T, P, Kd) ltsd residual, which lets an R-frame
+    rollout scan keep the kernel's saved residuals (payload + output)
+    instead of rematerializing the whole forward per frame.  The
+    elementwise candidate reprojection IS rematerialized (cheap, one
+    ``jax.checkpoint``) so its wide intermediates never persist.
     Returns ((B, 3, H, W) CHW images, RasterAux) — same conventions as
     :func:`rasterize_cache_sel_batch`.
     """
     from sim_a_splat_tpu.ops.pallas_composite import CHUNK
-    from sim_a_splat_tpu.ops.pallas_composite_sel import composite_pair_sel
-    from sim_a_splat_tpu.ops.rasterize_cached import TileCache
+    from sim_a_splat_tpu.ops.pallas_composite_sel import composite_sel_single
 
     ts = config.tile_size
     B, T, _, Kc = caches.mean.shape
@@ -479,31 +498,44 @@ def render_moving_batch(
     if dyn_max_tiles is not None:
         dyn_cfg = dyn_cfg._replace(max_tiles_per_gaussian=dyn_max_tiles)
 
+    # remat only the wide elementwise reprojection: its recompute is one
+    # fused pass over the cache, while saving its ~20 (T, Kc)-sized
+    # intermediates per frame would dominate the rollout's memory
+    reproject = jax.checkpoint(
+        lambda cache, cam: reproject_candidates(cache, cam, sh_degree,
+                                                config, sort=False))
+
     def one_env(cache, cam, dm, dq, dls, dc, dop):
-        spay, counts_s = reproject_candidates(cache, cam, sh_degree, config)
+        pay_s, key_s = reproject(cache, cam)                 # (T, Kc, 10)
         proj = project_raw(dm, dq, dls, cam)
         (gxy, gconic, gcol, gop, gdepth), dcounts, dtrunc = gather_tile_lists(
             proj, dc, dop, dyn_cfg, tx, ty)
-        dpay = _pack_payload(TileCache(gxy, gconic, gcol, gop, gdepth,
-                                       dcounts))
-        return spay, counts_s, dpay, dcounts, dtrunc
+        pay_d = jnp.concatenate(
+            [gxy, gconic, gcol, gdepth[..., None], gop[..., None]],
+            axis=-1)                                         # (T, Kd, 10)
+        key_d = lax.stop_gradient(
+            jnp.where(gop > 0.0, gdepth, jnp.inf))
+        pay = jnp.concatenate([pay_s, pay_d], axis=1)
+        key = jnp.concatenate([key_s, key_d], axis=1)
+        spay = jnp.swapaxes(_sort_by_key(pay, key), 1, 2)    # (T, 10, Km)
+        counts = jnp.sum(key < jnp.inf, axis=1).astype(jnp.int32)
+        return spay, counts, dcounts, dtrunc
 
-    spay, counts_s, dpay, dcounts, dtrunc = jax.vmap(one_env)(
+    spay, counts, dcounts, dtrunc = jax.vmap(one_env)(
         caches, cameras, dyn_means, dyn_quats, dyn_log_scales, dyn_colors,
         dyn_opacities)
 
+    Km = Kc + dyn_capacity
     spay_pad = jnp.concatenate(
-        [spay, jnp.zeros((B, 1, 10, Kc), spay.dtype)], axis=1)
-    counts_s_pad = jnp.concatenate(
-        [counts_s, jnp.zeros((B, 1), jnp.int32)], axis=1)
+        [spay, jnp.zeros((B, 1, 10, Km), spay.dtype)], axis=1)
+    counts_pad = jnp.concatenate(
+        [counts, jnp.zeros((B, 1), jnp.int32)], axis=1)
     ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
-    counts_d = jnp.minimum(dcounts, dyn_capacity).astype(jnp.int32)
 
     interpret = config.backend == "pallas_interpret"
-    out = composite_pair_sel(spay_pad, dpay, ids, counts_s_pad, counts_d,
-                             ts, tx, config.sigma_cutoff, interpret,
-                             config.term_eps, config.sel_exact_fwd,
-                             config.sel_exact_bwd)             # (B, T+1, 8, P)
+    out = composite_sel_single(spay_pad, ids, counts_pad, ts, tx,
+                               config.sigma_cutoff, interpret,
+                               config.term_eps)              # (B, T+1, 8, P)
     sel8 = out[:, :T]
 
     if background is None:
@@ -520,7 +552,7 @@ def render_moving_batch(
     alpha = untile_b(1.0 - trans)
     depth = untile_b(sel8[:, :, 3, :]) / jnp.maximum(alpha, 1e-10)
     aux = RasterAux(
-        tile_counts=counts_s + counts_d,
+        tile_counts=counts,
         n_overflowed_tiles=jnp.sum(dcounts > dyn_capacity),
         n_slot_truncated=jnp.sum(dtrunc),
         alpha=alpha,
