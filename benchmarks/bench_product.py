@@ -160,21 +160,46 @@ def measure_product(B=8, N=100_000, iters=5, render_size=(240, 320),
         R = int(os.environ.get("PRODUCT_R", "8"))
     margin = float(os.environ.get("PRODUCT_MARGIN", "16"))
     kc = int(os.environ.get("PRODUCT_KC", "1024"))
+    # near/far split: the EEF camera flies through the scene volume, so
+    # content within z_split of the lens is re-binned per frame (exact)
+    # instead of margin-budgeted (which diverges at the lens)
+    z_split = float(os.environ.get("PRODUCT_ZSPLIT", "0.35"))
+    near_cap = int(os.environ.get("PRODUCT_NEAR_CAP", "16384"))
 
     keys = jax.random.split(jax.random.key(0), B)
     reset_to = {"robot_pos": np.zeros(6),
                 "block_pos": np.array([0.45, 0.0, 0.2, 0.0])}
     states, _ = jax.jit(jax.vmap(
         lambda k: wrapper.env.reset(k, reset_to)))(keys)
-    actions_seq = jnp.tile(jnp.asarray(
-        [0.0, 0.3, 0.4, 0.0, 0.4, 0.0], jnp.float32), (R, B, 1))
+    base_action = jnp.asarray([0.0, 0.3, 0.4, 0.0, 0.4, 0.0], jnp.float32)
+
+    # teleop-realistic load: settle the arm at the target first (the
+    # reset→target transient swings the EEF through the scene — no frame
+    # coherence exists there, for ANY renderer), then drive mm-scale
+    # joint dither around the pose — human 10 Hz teleop moves the EEF
+    # millimeters per control step (demo_pusht_splat.py:171)
+    def warm(states):
+        def body(s, _):
+            tr = jax.vmap(wrapper.env.step)(
+                s, jnp.tile(base_action, (B, 1)))
+            return tr.state, None
+        s, _ = jax.lax.scan(body, states, None, length=40)
+        return s
+
+    states = jax.jit(warm)(states)
+    dither = float(os.environ.get("PRODUCT_DITHER", "0.004"))
+    phase = jnp.sin(2 * jnp.pi * jnp.arange(R) / R)[:, None, None]
+    pattern = jnp.asarray([0.0, 1.0, -1.0, 0.0, 1.0, 0.0], jnp.float32)
+    actions_seq = jnp.broadcast_to(
+        base_action[None, None] + dither * phase * pattern, (R, B, 6))
 
     def loss_of(scene, states, actions_seq):
         w = _dc.replace(wrapper, graph=graph._replace(scene=scene))
         caches = w.build_render_cache(scene)
         trs = w.rollout_with_cache_batch(
             states, actions_seq, caches, sel_tiles=sel_tiles,
-            dyn_capacity=dyn_capacity, moving_margin=margin, moving_kc=kc)
+            dyn_capacity=dyn_capacity, moving_margin=margin, moving_kc=kc,
+            moving_z_split=z_split, moving_near_cap=near_cap)
         return (jnp.mean(trs.obs["camera_0"] ** 2)
                 + jnp.mean(trs.obs["camera_1"] ** 2),
                 (trs.state, trs.info["render_overflow"][-1].max()))

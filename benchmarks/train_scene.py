@@ -9,7 +9,8 @@ from TRAIN_VIEWS cameras on a circle; a degraded init (subsampled means +
 position jitter, grey colors, inflated scales) is trained with the
 in-framework trainer (splatfacto LR groups + densify/cull) and PSNR is
 evaluated over all views every eval interval.  Writes the curve to
-TRAIN_r04.json at the repo root and a final side-by-side PPM.
+TRAIN_r05.json at the repo root and a final side-by-side PPM
+(TRAIN_OUT overrides; TRAIN_SSIM=0 reproduces the r4 L1-only loss).
 
 Usage: python benchmarks/train_scene.py      (env: TRAIN_N, TRAIN_ITERS,
 TRAIN_VIEWS, TRAIN_RES, TRAIN_CPU=1 to force host CPU)
@@ -131,6 +132,10 @@ def main():
         refine_every=ITERS // 5, refine_start=ITERS // 5,
         densify_grad_thresh=2e-4, densify_size_thresh=0.04,
         cull_alpha_thresh=0.08, cull_scale_thresh=1.0,
+        # splatfacto loss: (1−λ)·L1 + λ·(1−SSIM), λ=0.2 (divar
+        # config.yml:207) — round-5 default; λ=0 reproduces the r4 run
+        ssim_lambda=float(os.environ.get("TRAIN_SSIM", "0.2")),
+        reset_alpha_every=int(os.environ.get("TRAIN_RESET_ALPHA", "0")),
     )
 
     curve = []
@@ -159,6 +164,8 @@ def main():
         "protocol": dict(N_gt=N, init_n=N // 2, iters=ITERS, views=VIEWS,
                          res=RES, lr_scale=lr_scale,
                          refine_every=cfg.refine_every,
+                         ssim_lambda=cfg.ssim_lambda,
+                         reset_alpha_every=cfg.reset_alpha_every,
                          device=f"{dev.platform}/{dev.device_kind}"),
         "wall_s": round(wall, 1),
         "final_psnr_mean_db": round(final, 3),
@@ -168,7 +175,8 @@ def main():
                            for x in history_all["loss"][::100]],
         "n_history_every_100": history_all["n_gaussians"][::100],
     }
-    path = Path(__file__).resolve().parent.parent / "TRAIN_r04.json"
+    path = Path(__file__).resolve().parent.parent / os.environ.get(
+        "TRAIN_OUT", "TRAIN_r05.json")
     path.write_text(json.dumps(out, indent=1))
     log(f"wrote {path} (final {final:.2f} dB, {wall:.0f}s)")
 

@@ -370,7 +370,9 @@ class SplatEnvWrapperF:
 
     def build_moving_caches(self, draws: DrawState,
                             scene: GaussianScene | None = None,
-                            margin: float = 16.0, kc: int = 1024) -> dict:
+                            margin: float = 16.0, kc: int = 1024,
+                            z_split: float = 0.0, t_max: float = 0.05,
+                            near_cap: int = 2048) -> dict:
         """Per-env candidate tile caches for every MOVING camera
         (ops/rasterize_moving.py) from the current draw state — the
         frame-coherent fast path for the reference's EEF-mounted camera
@@ -399,7 +401,8 @@ class SplatEnvWrapperF:
                                       spec.fov, int(w), int(h))
                 return build_moving_cache(
                     st.means, st.quats, st.log_scales, sh_flat,
-                    st.opacities(), cam, bcfg, kc=kc, margin=margin)
+                    st.opacities(), cam, bcfg, kc=kc, margin=margin,
+                    z_split=z_split, t_max=t_max, near_cap=near_cap)
 
             out[key] = jax.vmap(build_one)(draws)
         return out
@@ -553,7 +556,7 @@ class SplatEnvWrapperF:
                 # candidate lists may no longer cover its tiles
                 overflow = overflow + jnp.sum(
                     jax.vmap(camera_budget_used)(mc, cams)
-                    > 1.0).astype(jnp.int32)
+                    > 1.0).astype(jnp.int32) + jnp.sum(mc.n_near_over)
                 truncated = (truncated + aux.n_overflowed_tiles
                              + aux.n_slot_truncated
                              + jnp.sum(mc.n_build_truncated))
@@ -636,7 +639,11 @@ class SplatEnvWrapperF:
                                  sel_tiles: int = 96,
                                  dyn_max_tiles: int = 9,
                                  moving_margin: float = 16.0,
-                                 moving_kc: int = 1024) -> SplatTransition:
+                                 moving_kc: int = 1024,
+                                 moving_z_split: float = 0.0,
+                                 moving_t_max: float = 0.05,
+                                 moving_near_cap: int = 2048
+                                 ) -> SplatTransition:
         """R-step batched rollout with frame-coherent moving cameras.
 
         ``actions_seq`` is (R, B, act_dim).  Fixed cameras render through
@@ -657,8 +664,10 @@ class SplatEnvWrapperF:
         """
         base = self._base_env()
         draws0 = jax.vmap(base.draw_state)(states)
-        mcaches = self.build_moving_caches(draws0, margin=moving_margin,
-                                           kc=moving_kc)
+        mcaches = self.build_moving_caches(
+            draws0, margin=moving_margin, kc=moving_kc,
+            z_split=moving_z_split, t_max=moving_t_max,
+            near_cap=moving_near_cap)
 
         @jax.checkpoint
         def step_fn(carry_states, actions):

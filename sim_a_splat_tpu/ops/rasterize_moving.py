@@ -103,9 +103,27 @@ class MovingCache(NamedTuple):
     s_rot: jnp.ndarray      # () max_i P_i·‖c_i‖ / a_i
     z_min: jnp.ndarray      # () min counted depth (translation correction)
     near_gap: jnp.ndarray   # () camera retreat that could surface a
-                            #    behind-near-plane gaussian (+inf if none)
+                            #    behind-near-plane gaussian (+inf if none;
+                            #    superseded by t_max when z_split > 0)
     margin: jnp.ndarray     # () px margin the binning was dilated by
     n_build_truncated: jnp.ndarray  # () tiles cut at kc + slot truncations
+    # near/far split (z_split > 0): statics with build depth in
+    # (−t_max, z_split) — content at/near the lens, where footprint
+    # sensitivities diverge and no margin budget can hold (an EEF-mounted
+    # camera has the gripper centimeters away, splat_handler.py:316-332) —
+    # are EXCLUDED from the candidate lists and re-binned exactly per
+    # frame alongside the dynamics.  Behind-camera gaussians beyond t_max
+    # cannot enter the view while ‖δt‖ ≤ t_max (budget-guarded), so the
+    # partition covers every static exactly.
+    near_mean: jnp.ndarray   # (Nn, 3) near-set raw params (pads: op 0)
+    near_quat: jnp.ndarray   # (Nn, 4)
+    near_ls: jnp.ndarray     # (Nn, 3)
+    near_op: jnp.ndarray     # (Nn,)
+    near_sh: jnp.ndarray     # (Nn, K, 3)
+    z_split: jnp.ndarray     # () the split depth (0 ⇒ split disabled)
+    t_max: jnp.ndarray       # () translation budget guarding the split
+    n_near_over: jnp.ndarray  # () near-set overflow (severe: unhandled
+                              #    near-lens gaussians)
 
 
 def build_moving_cache(
@@ -118,6 +136,9 @@ def build_moving_cache(
     build_config: RasterConfig,
     kc: int = 1024,
     margin: float = 16.0,
+    z_split: float = 0.0,
+    t_max: float = 0.05,
+    near_cap: int = 8,
 ) -> MovingCache:
     """Dilated-footprint binning + raw-parameter gather for one camera.
 
@@ -127,11 +148,24 @@ def build_moving_cache(
     The gather keeps each tile's nearest-``kc`` candidates by build-time
     depth; overflow is the bounded class, counted in
     ``n_build_truncated``.
+
+    ``z_split`` > 0 enables the near/far split (see MovingCache): statics
+    with build depth in (−t_max, z_split) go into a flat ``near_cap``-slot
+    set that the renderer re-bins exactly per frame with the dynamics —
+    for cameras INSIDE the scene (EEF-mounted), where near-lens content
+    makes any margin budget diverge.  ``t_max`` (world units) is the
+    camera-translation budget guarding behind-camera entry.
     """
     ts = build_config.tile_size
     tx = -(-camera.width // ts)
     ty = -(-camera.height // ts)
     proj = project_raw(means, quats, log_scales, camera, dilate=margin)
+    near_mask = ((proj.depth < z_split) & (proj.depth > -t_max)
+                 if z_split > 0 else jnp.zeros(proj.depth.shape, bool))
+    if z_split > 0:
+        # near-set gaussians never enter the candidate lists
+        proj = proj._replace(valid=proj.valid & ~near_mask,
+                             radius=jnp.where(near_mask, 0.0, proj.radius))
     (_, sorted_gidx, starts, counts, n_slot_trunc) = _bin_gaussians(
         proj, build_config, tx, ty)
 
@@ -151,8 +185,21 @@ def build_moving_cache(
     entry_valid = k[None, :] < jnp.minimum(counts, kc)[:, None]
     raw = jnp.swapaxes(lists, 1, 2)                          # (T, R, Kc)
 
+    # near set: compact the masked gaussians into near_cap flat slots
+    near_cap = min(near_cap, n)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    _, near_order = lax.sort(((~near_mask).astype(jnp.int32), iota_n),
+                             num_keys=1)
+    nsel = near_order[:near_cap]
+    nrank = jnp.arange(near_cap, dtype=jnp.int32)
+    n_near = jnp.sum(near_mask).astype(jnp.int32)
+    near_valid = nrank < n_near
+    near_lists = payload[nsel]                               # (Nn, R)
+    n_near_over = jnp.maximum(n_near - near_cap, 0)
+
     s_trans, s_rot, z_min, near_gap = _margin_stats(
-        means, quats, log_scales, camera, margin, ts, tx, ty)
+        means, quats, log_scales, camera, margin, ts, tx, ty,
+        z_split=z_split)
     return MovingCache(
         mean=raw[:, 0:3], quat=raw[:, 3:7], log_scales=raw[:, 7:10],
         opacity=jnp.where(entry_valid, raw[:, 10], 0.0),
@@ -162,7 +209,14 @@ def build_moving_cache(
         s_trans=s_trans, s_rot=s_rot, z_min=z_min, near_gap=near_gap,
         margin=jnp.asarray(margin, jnp.float32),
         n_build_truncated=(jnp.sum(counts > kc) + n_slot_trunc).astype(
-            jnp.int32))
+            jnp.int32),
+        near_mean=near_lists[:, 0:3], near_quat=near_lists[:, 3:7],
+        near_ls=near_lists[:, 7:10],
+        near_op=jnp.where(near_valid, near_lists[:, 10], 0.0),
+        near_sh=near_lists[:, 11:].reshape(near_cap, K, 3),
+        z_split=jnp.asarray(z_split, jnp.float32),
+        t_max=jnp.asarray(t_max, jnp.float32),
+        n_near_over=n_near_over.astype(jnp.int32))
 
 
 def _depth_radius(means, quats, log_scales, camera, near=0.01,
@@ -203,7 +257,7 @@ def _depth_radius(means, quats, log_scales, camera, near=0.01,
 
 
 def _margin_stats(means, quats, log_scales, camera, margin, ts, tx, ty,
-                  near=0.01):
+                  near=0.01, z_split=0.0):
     """(s_trans, s_rot, z_min, near_gap) over counted gaussians (see
     MovingCache docstring).
 
@@ -220,7 +274,9 @@ def _margin_stats(means, quats, log_scales, camera, margin, ts, tx, ty,
     rd = r + margin
     full_cover = ((u - rd <= ts) & (u + rd >= (tx - 1) * ts)
                   & (v - rd <= ts) & (v + rd >= (ty - 1) * ts))
-    counted = (z > near) & (det > 0.0) & ~full_cover
+    # with the near/far split active, near-set gaussians are re-binned
+    # exactly per frame — only far candidates consume margin budget
+    counted = (z > max(near, z_split)) & (det > 0.0) & ~full_cover
     f = jnp.maximum(camera.fx, camera.fy)
     gx = jnp.abs(u - camera.cx)
     gy = jnp.abs(v - camera.cy)
@@ -285,7 +341,12 @@ def camera_budget_used(cache: MovingCache, camera: Camera) -> jnp.ndarray:
     sin_h = jnp.sin(jnp.minimum(theta / 2.0, jnp.pi / 2.0))
     used = corr * (dt * cache.s_trans
                    + 2.0 * sin_h * (cache.s_rot + dt * cache.s_trans))
-    return jnp.where(dt >= cache.near_gap, jnp.inf, used)
+    # near/far split active: behind-camera entry is guarded by the t_max
+    # translation budget instead of the near_gap cliff (anything nearer
+    # than z_split is re-binned per frame and consumes no budget)
+    return jnp.where(cache.z_split > 0.0,
+                     jnp.maximum(used, dt / cache.t_max),
+                     jnp.where(dt >= cache.near_gap, jnp.inf, used))
 
 
 def _sh_basis(dx, dy, dz, sh_degree: int) -> jnp.ndarray:
@@ -507,6 +568,18 @@ def render_moving_batch(
 
     def one_env(cache, cam, dm, dq, dls, dc, dop):
         pay_s, key_s = reproject(cache, cam)                 # (T, Kc, 10)
+        # near-set statics (z_split > 0): re-binned exactly per frame with
+        # the dynamics — cameras inside the scene keep their near-lens
+        # content out of the margin-budgeted candidate lists
+        from sim_a_splat_tpu.ops import sh as _sh
+        from sim_a_splat_tpu.ops.projection import view_directions
+        ncols = _sh.eval_sh_color(
+            cache.near_sh, view_directions(cache.near_mean, cam), sh_degree)
+        dm = jnp.concatenate([dm, cache.near_mean])
+        dq = jnp.concatenate([dq, cache.near_quat])
+        dls = jnp.concatenate([dls, cache.near_ls])
+        dc = jnp.concatenate([dc, ncols])
+        dop = jnp.concatenate([dop, cache.near_op])
         proj = project_raw(dm, dq, dls, cam)
         (gxy, gconic, gcol, gop, gdepth), dcounts, dtrunc = gather_tile_lists(
             proj, dc, dop, dyn_cfg, tx, ty)

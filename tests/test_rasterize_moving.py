@@ -220,3 +220,34 @@ def test_moving_gradients_match_rebin():
         scale = float(jnp.max(jnp.abs(b))) + 1e-8
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-3 * scale, rtol=2e-2)
+
+
+def test_near_split_matches_rebin():
+    """Camera INSIDE the scene volume: with the near/far split active the
+    near-lens statics are re-binned per frame (exact), the margin budget
+    stays finite, and the render still equals the full rebin."""
+    static, dyn, _ = setup(sh_degree=1)
+    cam = cam_at([0.0, 0.0, -0.9])     # nearest gaussians ~0.1 away
+    cfg = CFG._replace(term_eps=1e-4)
+    sh_flat = static.sh_coeffs().reshape(static.means.shape[0], -1)
+    cache = build_moving_cache(
+        static.means, static.quats, static.log_scales, sh_flat,
+        static.opacities(), cam, dilated_build_config(cfg, MARGIN),
+        kc=256, margin=MARGIN, z_split=0.5, t_max=0.05, near_cap=256)
+    assert int(cache.n_near_over) == 0
+    assert int(cache.n_build_truncated) == 0
+    # the budget is finite and small for small motion (without the split
+    # the near-lens content drives it to ~infinity)
+    used = float(camera_budget_used(cache, cam_at([0.004, -0.003, -0.9])))
+    assert used < 1.0, used
+
+    cams = batch_cams([0.0, 0.0, -0.9], [0.004, -0.003, -0.9])
+    imgs, aux = jax.jit(
+        lambda cams: moving_render(static, dyn, cams, cache, 1, cfg))(cams)
+    for b, t in enumerate([[0.0, 0.0, -0.9], [0.004, -0.003, -0.9]]):
+        ref, aux_ref = jax.jit(
+            lambda t=t: rebin_reference(static, dyn, cam_at(t), 1, cfg))()
+        assert int(aux_ref.n_overflowed_tiles) == 0
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(imgs[b]), 0, -1), np.asarray(ref),
+            atol=2e-5, rtol=1e-4)
