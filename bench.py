@@ -332,7 +332,7 @@ def main():
                 os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
             from bench_product import measure_product
             pb = min(B, 16)
-            pR = int(os.environ.get("PRODUCT_R", "8"))
+            pR = int(os.environ.get("PRODUCT_R", "32"))
             fpsp = measure_product(B=pb, N=N, iters=max(ITERS // 2, 3),
                                    log=log)
             return fpsp, "env_frames/s/chip", dict(

@@ -157,9 +157,9 @@ def measure_product(B=8, N=100_000, iters=5, render_size=(240, 320),
     if dyn_capacity is None:
         dyn_capacity = int(os.environ.get("PRODUCT_DYN_CAP", "256"))
     if R is None:
-        R = int(os.environ.get("PRODUCT_R", "8"))
+        R = int(os.environ.get("PRODUCT_R", "32"))
     margin = float(os.environ.get("PRODUCT_MARGIN", "16"))
-    kc = int(os.environ.get("PRODUCT_KC", "1024"))
+    kc = int(os.environ.get("PRODUCT_KC", "512"))
     # near/far split: the EEF camera flies through the scene volume, so
     # content within z_split of the lens is re-binned per frame (exact)
     # instead of margin-budgeted (which diverges at the lens)

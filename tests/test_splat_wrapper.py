@@ -176,10 +176,13 @@ def _batch_reset(wrapper, B=2):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
+@pytest.mark.slow
 def test_step_with_cache_batch_matches_per_env():
     """The batched selected-tile product path must reproduce the per-env
     cached path (images and info contract) — the round-4 wiring of the
-    sel kernel into SplatEnvWrapperF."""
+    sel kernel into SplatEnvWrapperF.  Slow-marked (41 s): the stepwise
+    rollout test covers the batched/per-env equivalence in the core
+    suite, and the grads twin below is already slow."""
     import dataclasses
 
     wrapper, _ = build_wrapper()
