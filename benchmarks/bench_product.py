@@ -202,7 +202,7 @@ def measure_product(B=8, N=100_000, iters=5, render_size=(240, 320),
             moving_z_split=z_split, moving_near_cap=near_cap)
         return (jnp.mean(trs.obs["camera_0"] ** 2)
                 + jnp.mean(trs.obs["camera_1"] ** 2),
-                (trs.state, trs.info["render_overflow"][-1].max()))
+                (trs.state, trs.info["render_overflow"].max()))
 
     def fwd_bwd(scene, states, actions_seq):
         (loss, (ns, overflow)), grads = jax.value_and_grad(

@@ -102,9 +102,14 @@ class MovingCache(NamedTuple):
     s_trans: jnp.ndarray    # () max_i P_i / a_i
     s_rot: jnp.ndarray      # () max_i P_i·‖c_i‖ / a_i
     z_min: jnp.ndarray      # () min counted depth (translation correction)
-    near_gap: jnp.ndarray   # () camera retreat that could surface a
-                            #    behind-near-plane gaussian (+inf if none;
-                            #    superseded by t_max when z_split > 0)
+    # behind-plane entry guard: a gaussian with build depth z ≤ the
+    # unhandled-behind threshold can surface only after its camera-frame
+    # depth rises by (near − z), and Δz_i ≤ ‖δt‖ + 2·sin(θ/2)·‖c_i‖ —
+    # reduced to near_gap = min(near − z_i) and g_gap = max ‖c_i‖/(near−z_i)
+    # so BOTH translation and rotation are budgeted (a pure wrist rotation
+    # can surface behind-camera content too)
+    near_gap: jnp.ndarray   # () min(near − z) over unhandled-behind (+inf)
+    g_gap: jnp.ndarray      # () max ‖c‖/(near − z) over unhandled-behind
     margin: jnp.ndarray     # () px margin the binning was dilated by
     n_build_truncated: jnp.ndarray  # () tiles cut at kc + slot truncations
     # near/far split (z_split > 0): statics with build depth in
@@ -112,9 +117,9 @@ class MovingCache(NamedTuple):
     # sensitivities diverge and no margin budget can hold (an EEF-mounted
     # camera has the gripper centimeters away, splat_handler.py:316-332) —
     # are EXCLUDED from the candidate lists and re-binned exactly per
-    # frame alongside the dynamics.  Behind-camera gaussians beyond t_max
-    # cannot enter the view while ‖δt‖ ≤ t_max (budget-guarded), so the
-    # partition covers every static exactly.
+    # frame alongside the dynamics; the unhandled-behind threshold drops
+    # to −t_max, so the partition covers every static exactly while the
+    # entry guard stays sound.
     near_mean: jnp.ndarray   # (Nn, 3) near-set raw params (pads: op 0)
     near_quat: jnp.ndarray   # (Nn, 4)
     near_ls: jnp.ndarray     # (Nn, 3)
@@ -153,9 +158,14 @@ def build_moving_cache(
     with build depth in (−t_max, z_split) go into a flat ``near_cap``-slot
     set that the renderer re-bins exactly per frame with the dynamics —
     for cameras INSIDE the scene (EEF-mounted), where near-lens content
-    makes any margin budget diverge.  ``t_max`` (world units) is the
-    camera-translation budget guarding behind-camera entry.
+    makes any margin budget diverge.  ``t_max`` (world units) sets how far
+    behind the camera that per-frame-handled slab extends.
     """
+    if margin <= 1.0:
+        raise ValueError(
+            f"build_moving_cache: margin {margin} must exceed 1 px — the "
+            "binning radius is ceil'd, so 1 px of the budget is consumed "
+            "by quantization jitter (see _margin_stats)")
     ts = build_config.tile_size
     tx = -(-camera.width // ts)
     ty = -(-camera.height // ts)
@@ -186,6 +196,9 @@ def build_moving_cache(
     raw = jnp.swapaxes(lists, 1, 2)                          # (T, R, Kc)
 
     # near set: compact the masked gaussians into near_cap flat slots
+    # (split disabled ⇒ keep the mandatory arrays minimal)
+    if z_split <= 0:
+        near_cap = 8
     near_cap = min(near_cap, n)
     iota_n = jnp.arange(n, dtype=jnp.int32)
     _, near_order = lax.sort(((~near_mask).astype(jnp.int32), iota_n),
@@ -197,9 +210,9 @@ def build_moving_cache(
     near_lists = payload[nsel]                               # (Nn, R)
     n_near_over = jnp.maximum(n_near - near_cap, 0)
 
-    s_trans, s_rot, z_min, near_gap = _margin_stats(
+    s_trans, s_rot, z_min, near_gap, g_gap = _margin_stats(
         means, quats, log_scales, camera, margin, ts, tx, ty,
-        z_split=z_split)
+        z_split=z_split, t_max=t_max)
     return MovingCache(
         mean=raw[:, 0:3], quat=raw[:, 3:7], log_scales=raw[:, 7:10],
         opacity=jnp.where(entry_valid, raw[:, 10], 0.0),
@@ -207,6 +220,7 @@ def build_moving_cache(
         counts=jnp.minimum(counts, kc).astype(jnp.int32),
         base_q=camera.pose.q, base_t=camera.pose.t,
         s_trans=s_trans, s_rot=s_rot, z_min=z_min, near_gap=near_gap,
+        g_gap=g_gap,
         margin=jnp.asarray(margin, jnp.float32),
         n_build_truncated=(jnp.sum(counts > kc) + n_slot_trunc).astype(
             jnp.int32),
@@ -246,20 +260,21 @@ def _depth_radius(means, quats, log_scales, camera, near=0.01,
     a1 = j11[..., None] * m1 + j12[..., None] * m2
     a = jnp.sum(a0 * a0, axis=-1) + eps2d
     b = jnp.sum(a0 * a1, axis=-1)
-    c = jnp.sum(a1 * a1, axis=-1)
+    c = jnp.sum(a1 * a1, axis=-1) + eps2d
     det = a * c - b * b
     mid = 0.5 * (a + c)
     lam = mid + jnp.sqrt(jnp.maximum(mid * mid - jnp.maximum(det, 1e-12),
                                      0.01))
     u = camera.fx * x / zc + camera.cx
     v = camera.fy * y / zc + camera.cy
-    return z, jnp.ceil(3.0 * jnp.sqrt(lam)), det, u, v
+    c_norm = jnp.sqrt(x * x + y * y + z * z)
+    return z, jnp.ceil(3.0 * jnp.sqrt(lam)), det, u, v, c_norm
 
 
 def _margin_stats(means, quats, log_scales, camera, margin, ts, tx, ty,
-                  near=0.01, z_split=0.0):
-    """(s_trans, s_rot, z_min, near_gap) over counted gaussians (see
-    MovingCache docstring).
+                  near=0.01, z_split=0.0, t_max=0.05):
+    """(s_trans, s_rot, z_min, near_gap, g_gap) over counted gaussians
+    (see MovingCache docstring).
 
     Per counted gaussian i: sensitivity P_i = (f + g_i + 2r_i)/z_i with
     g_i the pixel distance of its mean from the principal point (per-axis
@@ -270,7 +285,8 @@ def _margin_stats(means, quats, log_scales, camera, margin, ts, tx, ty,
     any tile membership appears).  The budget reduces to
     s_trans = max P_i/a_i and s_rot = max P_i·‖c_i‖/a_i.
     """
-    z, r, det, u, v = _depth_radius(means, quats, log_scales, camera, near)
+    z, r, det, u, v, c_norm = _depth_radius(means, quats, log_scales,
+                                            camera, near)
     rd = r + margin
     full_cover = ((u - rd <= ts) & (u + rd >= (tx - 1) * ts)
                   & (v - rd <= ts) & (v + rd >= (ty - 1) * ts))
@@ -289,15 +305,17 @@ def _margin_stats(means, quats, log_scales, camera, margin, ts, tx, ty,
     # brute-force conservativeness test); margin must exceed 1
     a = (margin - 1.0) + jnp.maximum(gap_x, gap_y)
     zc = jnp.maximum(z, near)
-    c_norm = zc * jnp.sqrt(1.0 + ((u - camera.cx) / camera.fx) ** 2
-                           + ((v - camera.cy) / camera.fy) ** 2)
     P = jnp.where(counted, (f + g + 2.0 * r) / zc, 0.0)
     s_trans = jnp.max(P / a)
     s_rot = jnp.max(P * c_norm / a)
     z_min = jnp.min(jnp.where(counted, z, jnp.inf))
-    behind = z <= near
-    near_gap = jnp.min(jnp.where(behind, near - z, jnp.inf))
-    return s_trans, s_rot, z_min, near_gap
+    # unhandled-behind set: with the near/far split, z ∈ (−t_max, z_split)
+    # is re-binned per frame, so only z ≤ −t_max can surface unseen
+    behind = z <= (near if z_split <= 0 else -t_max)
+    gap = near - z
+    near_gap = jnp.min(jnp.where(behind, gap, jnp.inf))
+    g_gap = jnp.max(jnp.where(behind, c_norm / gap, 0.0))
+    return s_trans, s_rot, z_min, near_gap, g_gap
 
 
 def dilated_build_config(config: RasterConfig, margin: float) -> RasterConfig:
@@ -335,18 +353,24 @@ def camera_budget_used(cache: MovingCache, camera: Camera) -> jnp.ndarray:
     dq = jnp.abs(jnp.sum(cache.base_q * camera.pose.q))
     theta = 2.0 * jnp.arccos(jnp.clip(dq, 0.0, 1.0))
     dt = jnp.linalg.norm(camera.pose.t - cache.base_t)
+    sin_h = jnp.sin(jnp.minimum(theta / 2.0, jnp.pi / 2.0))
+    # far-candidate budget; a cache with NO counted gaussians (z_min = inf,
+    # e.g. everything near/full-cover/behind) has nothing to protect — the
+    # naive corr would be inf/inf = NaN and silently disable every guard
     corr = jnp.where(dt < cache.z_min,
                      cache.z_min / jnp.maximum(cache.z_min - dt, 1e-12),
                      jnp.inf)
-    sin_h = jnp.sin(jnp.minimum(theta / 2.0, jnp.pi / 2.0))
-    used = corr * (dt * cache.s_trans
-                   + 2.0 * sin_h * (cache.s_rot + dt * cache.s_trans))
-    # near/far split active: behind-camera entry is guarded by the t_max
-    # translation budget instead of the near_gap cliff (anything nearer
-    # than z_split is re-binned per frame and consumes no budget)
-    return jnp.where(cache.z_split > 0.0,
-                     jnp.maximum(used, dt / cache.t_max),
-                     jnp.where(dt >= cache.near_gap, jnp.inf, used))
+    used_far = jnp.where(
+        jnp.isfinite(cache.z_min),
+        corr * (dt * cache.s_trans
+                + 2.0 * sin_h * (cache.s_rot + dt * cache.s_trans)),
+        0.0)
+    # behind-plane entry: a gaussian at build depth z surfaces only after
+    # its camera-frame depth rises by (near − z), and Δz ≤ ‖δt‖ +
+    # 2·sin(θ/2)·‖c‖ — so ROTATION is budgeted too (a pure wrist rotation
+    # can surface behind-camera content)
+    used_gap = dt / cache.near_gap + 2.0 * sin_h * cache.g_gap
+    return jnp.maximum(used_far, used_gap)
 
 
 def _sh_basis(dx, dy, dz, sh_degree: int) -> jnp.ndarray:
@@ -575,12 +599,20 @@ def render_moving_batch(
         from sim_a_splat_tpu.ops.projection import view_directions
         ncols = _sh.eval_sh_color(
             cache.near_sh, view_directions(cache.near_mean, cam), sh_degree)
+        nd = dm.shape[0]
         dm = jnp.concatenate([dm, cache.near_mean])
         dq = jnp.concatenate([dq, cache.near_quat])
         dls = jnp.concatenate([dls, cache.near_ls])
         dc = jnp.concatenate([dc, ncols])
         dop = jnp.concatenate([dop, cache.near_op])
         proj = project_raw(dm, dq, dls, cam)
+        # near-set PAD slots carry arbitrary copied geometry with only
+        # opacity zeroed — cull them from binning outright, or they
+        # occupy per-tile capacity slots and displace real dynamics
+        live = jnp.concatenate(
+            [jnp.ones((nd,), bool), cache.near_op > 0.0])
+        proj = proj._replace(valid=proj.valid & live,
+                             radius=jnp.where(live, proj.radius, 0.0))
         (gxy, gconic, gcol, gop, gdepth), dcounts, dtrunc = gather_tile_lists(
             proj, dc, dop, dyn_cfg, tx, ty)
         pay_d = jnp.concatenate(

@@ -148,7 +148,7 @@ def test_shift_bound_is_conservative():
     cache = build(static, cam)
     ts, tx, ty = 16, 3, 2
     W, H = 48, 32
-    z0, r0, det0, u0, v0 = _depth_radius(
+    z0, r0, det0, u0, v0, _cn0 = _depth_radius(
         static.means, static.quats, static.log_scales, cam)
     rd = np.asarray(r0 + MARGIN)
     u0n, v0n = np.asarray(u0), np.asarray(v0)
@@ -171,7 +171,7 @@ def test_shift_bound_is_conservative():
         q = np.concatenate([[np.cos(ang / 2)], np.sin(ang / 2) * ax])
         cam2 = cam_at(np.asarray([0.0, 0.0, -3.0]) + dt, tuple(q))
         used = float(camera_budget_used(cache, cam2))
-        z1, r1, det1, u1, v1 = _depth_radius(
+        z1, r1, det1, u1, v1, _cn1 = _depth_radius(
             static.means, static.quats, static.log_scales, cam2)
         dr = np.maximum(np.abs(np.asarray(r1 - r0)) - 1.0, 0.0)
         du = np.abs(np.asarray(u1 - u0)) + dr
@@ -251,3 +251,81 @@ def test_near_split_matches_rebin():
         np.testing.assert_allclose(
             np.moveaxis(np.asarray(imgs[b]), 0, -1), np.asarray(ref),
             atol=2e-5, rtol=1e-4)
+
+
+def test_rotation_guards_behind_camera_entry():
+    """A pure camera rotation can surface behind-camera content — the
+    budget must flag it even with zero translation (review finding)."""
+    static, _, cam = setup(sh_degree=0)
+    # plant a gaussian just behind the near plane, off to the side
+    st = static._replace(means=static.means.at[0].set(
+        jnp.asarray([1.0, 0.0, -2.995])))    # camera at z=-3 ⇒ z_cam=0.005
+    cache = build(st, cam)
+    assert float(cache.near_gap) < 0.01
+    # zero translation, finite rotation: must consume gap budget
+    ang = 0.2
+    q = (np.cos(ang / 2), 0.0, np.sin(ang / 2), 0.0)
+    used = float(camera_budget_used(cache, cam_at([0.0, 0.0, -3.0], q=q)))
+    assert used > 1.0, used
+
+
+def test_empty_counted_set_keeps_guards():
+    """With NO counted far candidates (tiny scene, everything near/full-
+    cover) the budget must stay finite-and-sound, not NaN (review
+    finding: inf/inf corr silently disabled every guard)."""
+    static, _, _ = setup(sh_degree=0, n_static=5)
+    cam = cam_at([0.0, 0.0, -0.05])          # lens inside the cloud
+    sh_flat = static.sh_coeffs().reshape(static.means.shape[0], -1)
+    cache = build_moving_cache(
+        static.means, static.quats, static.log_scales, sh_flat,
+        static.opacities(), cam, dilated_build_config(CFG, MARGIN),
+        kc=128, margin=MARGIN, z_split=0.5, t_max=0.02, near_cap=8)
+    used_small = float(camera_budget_used(cache, cam_at([0.0, 0, -0.051])))
+    assert np.isfinite(used_small) or used_small == np.inf
+    assert not np.isnan(used_small)
+    # a retreat beyond every behind gaussian's gap must flag
+    used_big = float(camera_budget_used(cache, cam_at([0.0, 0, -2.0])))
+    assert not np.isnan(used_big)
+
+
+def test_margin_must_exceed_one():
+    static, _, cam = setup(sh_degree=0)
+    sh_flat = static.sh_coeffs().reshape(static.means.shape[0], -1)
+    with pytest.raises(ValueError, match="margin"):
+        build_moving_cache(
+            static.means, static.quats, static.log_scales, sh_flat,
+            static.opacities(), cam, dilated_build_config(CFG, 0.5),
+            kc=128, margin=0.5)
+
+
+def test_near_pad_slots_never_bin():
+    """Near-set PAD slots copy arbitrary gaussian geometry with opacity
+    zeroed; they must not occupy per-tile capacity (review finding:
+    phantoms could displace real dynamics under the nearest-K cut)."""
+    static, dyn, _ = setup(sh_degree=1)
+    cam = cam_at([0.0, 0.0, -0.9])
+    cfg = CFG._replace(term_eps=1e-4)
+    sh_flat = static.sh_coeffs().reshape(static.means.shape[0], -1)
+    cache = build_moving_cache(
+        static.means, static.quats, static.log_scales, sh_flat,
+        static.opacities(), cam, dilated_build_config(cfg, MARGIN),
+        kc=256, margin=MARGIN, z_split=0.5, t_max=0.05, near_cap=256)
+    n_near = int((np.asarray(cache.near_op) > 0).sum())
+    assert n_near < 256                       # pads exist
+    cams = batch_cams([0.0, 0.0, -0.9])
+    # tiny dyn_capacity: if pads were binned they would displace real
+    # entries and the image would differ from the rebin reference
+    B = 1
+    rep = lambda a: jnp.broadcast_to(a, (B,) + a.shape)
+    caches = jax.tree.map(rep, cache)
+    from sim_a_splat_tpu.ops.projection import view_directions as vd
+    d_cols = jax.vmap(lambda c: sh_ops.eval_sh_color(
+        dyn.sh_coeffs(), vd(dyn.means, c), 1))(cams)
+    imgs, aux = render_moving_batch(
+        caches, cams, rep(dyn.means), rep(dyn.quats), rep(dyn.log_scales),
+        d_cols, rep(dyn.opacities()), cfg, 1, dyn_capacity=128,
+        dyn_max_tiles=9)
+    ref, _ = jax.jit(lambda: rebin_reference(static, dyn, cam_at(
+        [0.0, 0.0, -0.9]), 1, cfg))()
+    np.testing.assert_allclose(np.moveaxis(np.asarray(imgs[0]), 0, -1),
+                               np.asarray(ref), atol=2e-5, rtol=1e-4)
