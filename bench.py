@@ -68,7 +68,9 @@ def main():
     B = int(os.environ.get("BENCH_B", "128"))
     N = int(os.environ.get("BENCH_N", "100000"))
     RES = int(os.environ.get("BENCH_RES", "256"))
-    ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+    # 20 iters: at ~170 ms/iter the timed window is ~3.4 s — short windows
+    # were measured 25% off run-to-run from tunnel dispatch jitter
+    ITERS = int(os.environ.get("BENCH_ITERS", "20"))
     use_cache = os.environ.get("BENCH_CACHE", "1") != "0"
     fwd_only = os.environ.get("BENCH_FWDONLY", "0") != "0"
     variants = os.environ.get("BENCH_VARIANTS", "1") != "0"
@@ -118,7 +120,8 @@ def main():
         return _build_scene(n_bg=n_total - nb - na, n_block=nb, n_agent=na,
                             seed=seed, sh_degree=sh_degree)
 
-    def measure(label, graph_, cached, iters, nb=B, sel_override=None):
+    def measure(label, graph_, cached, iters, nb=B, sel_override=None,
+                fwd_override=False):
         """Compile + time one configuration; returns (frames/s, n_severe).
 
         ``cached`` ∈ {True, False, "moving", "moving_cached"}: True =
@@ -193,7 +196,7 @@ def main():
 
         states = jax.jit(jax.vmap(lambda k: pusht.reset(P, k)))(keys)
 
-        if fwd_only:
+        if fwd_only or fwd_override:
             def fwd_bwd(scene, states, actions):
                 loss, (new_states, n_drop) = loss_of(scene, states, actions)
                 return new_states, loss, n_drop, None
@@ -363,6 +366,20 @@ def main():
                 metric=f"moving_camera_cached_rollout_{RES}x{RES}_fwdbwd")
 
         run_variant("moving_camera", moving, min_left=75.0)
+
+        def moving_fwd():
+            # forward-only rollout — the TELEOP direction (observation
+            # generation without training); grads are the datagen story
+            mb = int(os.environ.get("MOVING_B", "32"))
+            R = int(os.environ.get("MOVING_R", "32"))
+            fpsm, n_sev = measure("variant:moving_cached_fwd", g3,
+                                  "moving_cached", max(ITERS // 2, 3),
+                                  nb=mb, fwd_override=True)
+            return fpsm, "frames/s/chip", dict(
+                B=mb, R=R, exact=(n_sev == 0),
+                metric=f"moving_camera_cached_rollout_{RES}x{RES}_fwdonly")
+
+        run_variant("moving_fwd", moving_fwd, min_left=70.0)
 
         if scales:
             # reference-scene scale: divar113vhw = 292,247 gaussians,
